@@ -1,0 +1,2 @@
+from .merson import MersonParams, MersonState, merson_solve, merson_init
+from .rk4 import rk4_solve

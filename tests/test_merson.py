@@ -1,0 +1,296 @@
+"""Tests for the Merson adaptive solver against analytic ODEs and an
+independent NumPy transcription of the reference algorithm's semantics
+(RK_Asolver.c / RK_MPI_SAsolver.c)."""
+
+import math
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from porousfreezethaw_tpu.solvers import (
+    MersonParams, merson_init, merson_solve, rk4_solve)
+from porousfreezethaw_tpu.solvers import merson as merson_mod
+
+
+def numpy_merson_reference(f, t, y, tf, h, delta, h_min=0.0, max_iter=100000):
+    """Plain-python Merson controller implementing the documented reference
+    semantics (SURVEY §2.1 numerics block) as an independent oracle.
+    Returns (t, y, h_cont, steps, steps_total, trace) where trace is the
+    list of (t, h) after each successful step."""
+    y = np.array(y, dtype=np.float64)
+    trace = []
+    steps = steps_total = 0
+    # prologue
+    if (tf > t and h < 0) or (tf < t and h > 0):
+        h = -h
+    finished = False
+    h_cont = h
+    if h == 0 or abs(tf - t) <= abs(h):
+        h = tf - t
+        finished = True
+    for _ in range(max_iter):
+        h3 = h / 3.0
+        K1 = f(t, y)
+        K2 = f(t + h3, y + h3 * K1)
+        K3 = f(t + h3, y + (h / 6.0) * (K1 + K2))
+        K4 = f(t + h / 2.0, y + (h / 8.0) * (K1 + 3.0 * K3))
+        K5 = f(t + h, y + h * (0.5 * K1 - 1.5 * K3 + 2.0 * K4))
+        steps_total += 1
+        eps = np.max(np.abs(0.2 * K1 - 0.9 * K3 + 0.8 * K4 - 0.1 * K5))
+        new_h = (0.8 * (delta / eps) ** 0.2 if eps > 0 else 2.0) * h
+        if eps < delta or abs(h) < h_min:
+            y = y + h3 * (0.5 * (K1 + K5) + 2.0 * K4)
+            t = t + h
+            steps += 1
+            trace.append((t, h))
+            if finished:
+                break
+            if abs(tf - t) <= abs(new_h):
+                h_cont = new_h
+                h = tf - t
+                finished = True
+            else:
+                h = new_h
+        else:
+            h = new_h
+            finished = False
+    return t, y, h_cont, steps, steps_total, trace
+
+
+def solve_jax(f, t, y, tf, h, delta, h_min=0.0, **kw):
+    state = merson_init(jnp.asarray(y, jnp.float64), t, h)
+    params = MersonParams(delta=delta, h_min=h_min, **kw)
+    new_state, status = jax.jit(
+        lambda s: merson_solve(f, s, tf, params))(state)
+    return new_state, int(status)
+
+
+class TestAnalytic:
+    def test_exponential_decay(self):
+        # y' = -y, y(0)=1 -> y(1)=e^-1
+        f = lambda t, y: -y
+        st, status = solve_jax(f, 0.0, [1.0], 1.0, 0.1, delta=1e-8)
+        assert status == 0
+        assert float(st.t) == pytest.approx(1.0, abs=1e-14)
+        assert float(st.y[0]) == pytest.approx(math.exp(-1.0), rel=1e-8)
+        assert int(st.steps) >= 1
+        assert int(st.steps_total) >= int(st.steps)
+
+    def test_harmonic_oscillator(self):
+        # y'' = -y as a 2-system; y(0)=1, y'(0)=0 -> y(2pi)=1
+        f = lambda t, y: jnp.stack([y[1], -y[0]])
+        st, status = solve_jax(f, 0.0, [1.0, 0.0], 2 * math.pi, 0.1, delta=1e-9)
+        assert status == 0
+        assert float(st.y[0]) == pytest.approx(1.0, abs=1e-6)
+        assert float(st.y[1]) == pytest.approx(0.0, abs=1e-6)
+
+    def test_polynomial_exact(self):
+        # RK4 is exact for cubic polynomials: y' = 3t^2 -> y = t^3
+        f = lambda t, y: jnp.full_like(y, 3.0 * t**2)
+        st, status = solve_jax(f, 0.0, [0.0], 2.0, 0.5, delta=1e-4)
+        assert status == 0
+        assert float(st.y[0]) == pytest.approx(8.0, rel=1e-12)
+
+    def test_backward_integration(self):
+        # integrate from t=1 back to t=0 (automatic h reversal)
+        f = lambda t, y: -y
+        st, status = solve_jax(f, 1.0, [math.exp(-1.0)], 0.0, 0.1, delta=1e-8)
+        assert status == 0
+        assert float(st.y[0]) == pytest.approx(1.0, rel=1e-7)
+
+    def test_pytree_state(self):
+        f = lambda t, y: {"a": -y["a"], "b": 2.0 * jnp.ones_like(y["b"])}
+        y0 = {"a": jnp.ones((3,), jnp.float64), "b": jnp.zeros((2,), jnp.float64)}
+        state = merson_init(y0, 0.0, 0.1)
+        st, status = merson_solve(f, state, 1.0, MersonParams(delta=1e-8))
+        assert int(status) == 0
+        np.testing.assert_allclose(st.y["a"], math.exp(-1.0), rtol=1e-8)
+        np.testing.assert_allclose(st.y["b"], 2.0, rtol=1e-12)
+
+
+class TestReferenceSemantics:
+    """The jitted while_loop must reproduce the exact accept/reject and
+    step-size sequence of the reference algorithm (independent NumPy
+    transcription), including step counts — the reference logs prove step
+    counts are rank-invariant, making them a cross-implementation oracle
+    (BASELINE.md)."""
+
+    @pytest.mark.parametrize("delta,h0", [(1e-3, 0.5), (1e-6, 0.1), (1e-2, 2.0)])
+    def test_step_sequence_matches(self, delta, h0):
+        fn = lambda t, y: np.array([y[1], (1 - y[0] ** 2) * y[1] - y[0]])
+        fj = lambda t, y: jnp.stack([y[1], (1 - y[0] ** 2) * y[1] - y[0]])
+        t_r, y_r, h_r, steps_r, tot_r, _ = numpy_merson_reference(
+            fn, 0.0, [2.0, 0.0], 5.0, h0, delta)
+        st, status = solve_jax(fj, 0.0, [2.0, 0.0], 5.0, h0, delta=delta)
+        assert status == 0
+        assert int(st.steps) == steps_r
+        assert int(st.steps_total) == tot_r
+        np.testing.assert_allclose(np.asarray(st.y), y_r, rtol=1e-8, atol=1e-10)
+        assert float(st.h) == pytest.approx(h_r, rel=1e-12)
+
+    def test_zero_interval_counts_one_step(self):
+        # solve(t -> t) performs exactly one (no-op) accepted step, like the
+        # reference's pre-truncated FINISHED path (RK_MPI_SAsolver.c:300-307)
+        f = lambda t, y: -y
+        st, status = solve_jax(f, 0.0, [1.0], 0.0, 0.25, delta=1e-6)
+        assert status == 0
+        assert int(st.steps) == 1 and int(st.steps_total) == 1
+        assert float(st.y[0]) == 1.0
+        assert float(st.h) == 0.25  # continuation h untouched
+
+    def test_continuation_across_snapshots(self):
+        # two back-to-back solves must equal one long solve in step counts
+        # (seamless continuation via the untrimmed h, RK_MPI_SAsolver.h:68-71)
+        fn = lambda t, y: np.array([-10.0 * y[0] + np.sin(t)])
+        fj = lambda t, y: -10.0 * y + jnp.sin(t)
+
+        t_r, y_r, h_r, s_r, st_r, _ = numpy_merson_reference(
+            fn, 0.0, [1.0], 1.0, 0.1, 1e-6)
+        t_r, y_r, h_r, s_r2, st_r2, _ = numpy_merson_reference(
+            fn, t_r, y_r, 2.0, h_r, 1e-6)
+
+        params = MersonParams(delta=1e-6)
+        state = merson_init(jnp.asarray([1.0], jnp.float64), 0.0, 0.1)
+        state, _ = merson_solve(fj, state, 1.0, params)
+        state, _ = merson_solve(fj, state, 2.0, params)
+        assert int(state.steps) == s_r + s_r2
+        np.testing.assert_allclose(np.asarray(state.y), y_r, rtol=1e-8)
+
+    def test_h_min_forces_accept(self):
+        # with h_min large, every step is accepted regardless of eps
+        fj = lambda t, y: -1000.0 * y
+        st, status = solve_jax(fj, 0.0, [1.0], 0.002, 0.001, delta=1e-7,
+                               h_min=1.0)
+        assert status == 0
+        assert int(st.steps) == int(st.steps_total)
+        # and rejections do occur for the same setup when h_min is small
+        st2, status2 = solve_jax(fj, 0.0, [1.0], 0.002, 0.001, delta=1e-7,
+                                 h_min=0.0)
+        assert int(st2.steps_total) > int(st2.steps)
+
+    def test_delta_local_mode(self):
+        fn = lambda t, y: np.array([y[1], -y[0]])
+        fj = lambda t, y: jnp.stack([y[1], -y[0]])
+
+        # local mode multiplies eps by |h/3| before control (SAsolver.c:499)
+        def numpy_local(t, y, tf, h, delta):
+            y = np.array(y)
+            steps = 0
+            finished = False
+            if abs(tf - t) <= abs(h):
+                h, finished = tf - t, True
+            for _ in range(10000):
+                h3 = h / 3
+                K1 = fn(t, y); K2 = fn(t + h3, y + h3 * K1)
+                K3 = fn(t + h3, y + h / 6 * (K1 + K2))
+                K4 = fn(t + h / 2, y + h / 8 * (K1 + 3 * K3))
+                K5 = fn(t + h, y + h * (0.5 * K1 - 1.5 * K3 + 2 * K4))
+                eps = np.max(np.abs(0.2 * K1 - 0.9 * K3 + 0.8 * K4 - 0.1 * K5))
+                eps *= abs(h3)
+                new_h = (0.8 * (delta / eps) ** 0.2 if eps > 0 else 2.0) * h
+                if eps < delta:
+                    y = y + h3 * (0.5 * (K1 + K5) + 2 * K4); t += h; steps += 1
+                    if finished:
+                        break
+                    if abs(tf - t) <= abs(new_h):
+                        h, finished = tf - t, True
+                    else:
+                        h = new_h
+                else:
+                    h, finished = new_h, False
+            return steps, y
+
+        s_ref, y_ref = numpy_local(0.0, [1.0, 0.0], 3.0, 0.5, 1e-7)
+        st, status = solve_jax(fj, 0.0, [1.0, 0.0], 3.0, 0.5, delta=1e-7,
+                               delta_mode="local")
+        assert status == 0
+        assert int(st.steps) == s_ref
+        np.testing.assert_allclose(np.asarray(st.y), y_ref, rtol=1e-8)
+
+    def test_eps_mult(self):
+        # doubling eps_mult must behave like halving delta
+        fj = lambda t, y: jnp.stack([y[1], -y[0]])
+        st1, _ = solve_jax(fj, 0.0, [1.0, 0.0], 3.0, 0.5, delta=1e-6)
+        y0 = jnp.asarray([1.0, 0.0], jnp.float64)
+        state = merson_init(y0, 0.0, 0.5)
+        st2, _ = merson_solve(fj, state, 3.0, MersonParams(delta=2e-6),
+                              eps_mult=jnp.asarray(2.0, jnp.float64))
+        assert int(st1.steps_total) == int(st2.steps_total)
+
+
+class TestNaNHandling:
+    def test_nan_backoff_recovers(self):
+        # a singular RHS that yields NaN for big steps but works for small
+        def fj(t, y):
+            # sqrt of a quantity that goes negative if the stage leaves [0,2]
+            return jnp.sqrt(2.0 - y) * 0.0 - y
+        st, status = solve_jax(fj, 0.0, [1.0], 1.0, 50.0, delta=1e-6,
+                               handle_nan=True)
+        # step starts way too large (h=50 > interval): pre-truncated; fine
+        assert status == 0
+
+    def test_nan_abort(self):
+        fj = lambda t, y: y * jnp.nan
+        st, status = solve_jax(fj, 0.0, [1.0], 1.0, 0.5, delta=1e-6,
+                               handle_nan=True)
+        assert status == merson_mod.NAN_ABORT
+
+    def test_max_steps_guard(self):
+        fj = lambda t, y: -y
+        state = merson_init(jnp.asarray([1.0], jnp.float64), 0.0, 1e-9)
+        st, status = merson_solve(fj, state, 1.0,
+                                  MersonParams(delta=1e-30, h_min=0.0,
+                                               max_steps=50))
+        assert int(status) == merson_mod.MAX_STEPS
+
+
+class TestServiceCallback:
+    def test_callback_called_per_accepted_step(self):
+        calls = []
+
+        def svc(t, h, steps):
+            calls.append((t, h, steps))
+            return 0
+
+        fj = lambda t, y: -y
+        state = merson_init(jnp.asarray([1.0], jnp.float64), 0.0, 0.1)
+        st, status = merson_solve(fj, state, 1.0, MersonParams(delta=1e-6),
+                                  service_callback=svc)
+        jax.block_until_ready(st.y)
+        assert int(status) == 0
+        assert len(calls) == int(st.steps)
+        assert calls[-1][2] == int(st.steps)
+
+    def test_callback_break_interrupts(self):
+        def svc(t, h, steps):
+            return 1 if steps >= 3 else 0
+
+        fj = lambda t, y: -y
+        state = merson_init(jnp.asarray([1.0], jnp.float64), 0.0, 0.01)
+        st, status = merson_solve(fj, state, 5.0, MersonParams(delta=1e-10),
+                                  service_callback=svc)
+        assert int(status) == merson_mod.INTERRUPTED
+        assert int(st.steps) == 3
+        assert float(st.t) < 5.0
+        # the solve can be resumed
+        st2, status2 = merson_solve(fj, st, 5.0, MersonParams(delta=1e-10))
+        assert int(status2) == 0
+        assert float(st2.t) == pytest.approx(5.0)
+
+
+class TestRK4:
+    def test_fixed_step_exact_cubic(self):
+        f = lambda t, y: jnp.full_like(y, 3.0 * t**2)
+        t, y = rk4_solve(f, 0.0, jnp.zeros((1,), jnp.float64), 0.25, 8)
+        assert float(t) == pytest.approx(2.0)
+        assert float(y[0]) == pytest.approx(8.0, rel=1e-12)
+
+    def test_decay_order4(self):
+        f = lambda t, y: -y
+        errs = []
+        for n in (16, 32):
+            t, y = rk4_solve(f, 0.0, jnp.ones((1,), jnp.float64), 1.0 / n, n)
+            errs.append(abs(float(y[0]) - math.exp(-1.0)))
+        assert errs[0] / errs[1] > 12  # ~16 for 4th order
