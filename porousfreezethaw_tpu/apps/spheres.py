@@ -1,0 +1,108 @@
+"""The spheres DEM settling simulator application.
+
+Equivalent of the reference ``apps/sphere-collider`` family
+(``spheres_friction_angular.c:494-626``): simulate spherical particles
+falling into a vessel under a soft contact model, writing CSV snapshots.
+The reference selects one of four source variants by symlink and compiles
+constants in; here everything is a CLI flag with the reference defaults.
+
+CLI example::
+
+    python -m porousfreezethaw_tpu.apps.spheres --variant friction_angular \
+        --n 200 --snapshots 400 --output OUTPUT
+
+Snapshot numbering starts from 1 (MATLAB compatibility,
+spheres_friction_angular.c:611-613).
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+import time
+from typing import List, Optional
+
+import numpy as np
+
+from ..io.csv_snaps import snapshot_path, write_dem_snapshot
+from ..io.rklog import format_time
+from ..models.dem import (
+    DEMConfig, icond_2spheres, icond_dense, icond_sparse, make_dem_rhs)
+from ..solvers.merson import MersonParams, merson_init, merson_solve
+
+ICONDS = {"dense": icond_dense, "sparse": icond_sparse,
+          "2spheres": icond_2spheres}
+
+
+def main(argv: Optional[List[str]] = None) -> int:
+    ap = argparse.ArgumentParser(
+        prog="spheres", description="TPU-native DEM sphere settling simulator")
+    ap.add_argument("--variant", default="friction_angular",
+                    choices=["basic", "basic_WB", "friction", "friction_angular"])
+    ap.add_argument("--icond", default="dense", choices=list(ICONDS))
+    ap.add_argument("--n", type=int, default=200)
+    ap.add_argument("--r", type=float, default=0.1)
+    ap.add_argument("--final-time", type=float, default=8.0)
+    ap.add_argument("--snapshots", type=int, default=400)
+    ap.add_argument("--delta", type=float, default=0.1)
+    ap.add_argument("--ht", type=float, default=0.1)
+    ap.add_argument("--ht-min", type=float, default=1e-9)
+    ap.add_argument("--seed", type=int, default=None)
+    ap.add_argument("--output", default="OUTPUT")
+    ap.add_argument("--precision", choices=["f32", "f64"], default="f64")
+    args = ap.parse_args(argv)
+
+    if args.precision == "f64":
+        import jax
+        jax.config.update("jax_enable_x64", True)
+    import jax
+    import jax.numpy as jnp
+
+    cfg = DEMConfig(variant=args.variant, n=args.n, r=args.r,
+                    T=args.final_time, ht=args.ht, ht_min=args.ht_min,
+                    delta=args.delta, snapshots=args.snapshots)
+    if args.icond == "2spheres":
+        # the 2-sphere test forces n=2 and zero gravity
+        # (spheres_friction_angular.c:398-401)
+        cfg = DEMConfig(variant=args.variant, n=2, r=args.r,
+                        T=args.final_time, ht=args.ht, ht_min=args.ht_min,
+                        delta=args.delta, snapshots=args.snapshots,
+                        gravity=(0.0, 0.0, 0.0))
+        y0, color = icond_2spheres(cfg)
+    else:
+        y0, color = ICONDS[args.icond](cfg, seed=args.seed)
+
+    print("Initializing...")
+    os.makedirs(args.output, exist_ok=True)
+    rhs = make_dem_rhs(cfg)
+    params = MersonParams(delta=cfg.delta, h_min=cfg.ht_min)
+    state = merson_init({k: jnp.asarray(v) for k, v in y0.items()}, 0.0, cfg.ht)
+    solve = jax.jit(lambda st, ft: merson_solve(rhs, st, ft, params))
+
+    start = time.time()
+    elapsed = 0.0
+    for snap in range(cfg.snapshots):
+        t_target = (cfg.T / (cfg.snapshots - 1)) * snap
+        print(f"Solving until t={t_target:f} ....", end="", flush=True)
+        t0 = time.time()
+        state, status = solve(state, t_target)
+        status = int(status)
+        if status != 0:
+            print(f"\nsolver failed with status {status}")
+            return 1
+        elapsed += time.time() - t0
+        print(f"Done. Elapsed wall time: {format_time(elapsed)}, "
+              f"{int(state.steps)} R-K steps ({int(state.steps_total)} total)")
+        print(f"Saving snapshot {snap + 1} of {cfg.snapshots}.")
+        write_dem_snapshot(
+            snapshot_path(args.output, snap + 1),
+            {k: np.asarray(v) for k, v in state.y.items()},
+            color, angular=cfg.angular)
+
+    print(f"\nSimulation completed in: {format_time(time.time() - start)}.")
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
