@@ -1,0 +1,159 @@
+"""Benchmark harness: freezing-stencil throughput on the attached device.
+
+Measures the flagship compute path — the adaptive Runge-Kutta-Merson solve
+of the GradP phase-field + heat system (calc_mode 0) on the reference's MR
+grid (100 x 100 x 200) with the shipped Params physics and realistic
+initial conditions — and prints ONE JSON line:
+
+    {"metric": ..., "value": N, "unit": ..., "vs_baseline": N/baseline}
+
+Baseline: the reference's PhysRevE-2025 GradP 1-node run sustains
+~2.4e8 cell*RHS-evals/s on 32 CPU cores (BASELINE.md: 2e6 cells x
+2,073,396 attempted steps x 5 stages / 86,247 s).  vs_baseline is the
+per-chip speedup over that full reference node.
+"""
+
+import argparse
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+BASELINE_CELL_RHS_EVALS_PER_S = 2.4e8  # reference 1 node / 32 cores (BASELINE.md)
+
+REFERENCE_BALLS = ("/root/reference/apps/intertrack-hybrid-S-freezing/"
+                   "data/spheres_positions.txt")
+
+
+def log(*a):
+    print(*a, file=sys.stderr, flush=True)
+
+
+def synthetic_ball_positions(n=200, seed=0):
+    """A jittered-grid porous bed in the unit box (raw coordinates, same
+    convention as the DEM output consumed by the reference) — used when the
+    shipped positions file is unavailable."""
+    rng = np.random.RandomState(seed)
+    r = 0.1
+    per_row = 4
+    pos = []
+    i = 0
+    while len(pos) < n:
+        x = (i % per_row + 0.5) / per_row
+        y = ((i // per_row) % per_row + 0.5) / per_row
+        z = (i // (per_row * per_row)) * 2 * r * 0.95 + r
+        pos.append([x + 0.02 * rng.randn(), y + 0.02 * rng.randn(), z])
+        i += 1
+    return np.asarray(pos)
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--grid-nodes", type=int, default=200,
+                    help="cells along the longest side: 100=LR, 200=MR, 400=HR")
+    ap.add_argument("--steps", type=int, default=0,
+                    help="attempted Merson steps to time (0 = auto)")
+    ap.add_argument("--dtype", choices=["f32", "f64"], default="f32")
+    ap.add_argument("--platform", default=None,
+                    help="force a jax platform (e.g. cpu for testing)")
+    ap.add_argument("--ball-positions", default=None)
+    args = ap.parse_args()
+
+    if args.grid_nodes < 4:
+        ap.error("--grid-nodes must be >= 4")
+
+    import jax
+    if args.platform:
+        jax.config.update("jax_platforms", args.platform)
+    if args.dtype == "f64":
+        jax.config.update("jax_enable_x64", True)
+    import jax.numpy as jnp
+
+    from porousfreezethaw_tpu.cases import freezing_params_text
+    from porousfreezethaw_tpu.config import parse_param_file
+    from porousfreezethaw_tpu.core.grid import GridGeometry
+    from porousfreezethaw_tpu.models.freezing import (
+        FreezingParams, build_glass_field, build_initial_conditions,
+        make_rhs)
+    from porousfreezethaw_tpu.models.freezing.glass import read_ball_positions
+    from porousfreezethaw_tpu.solvers.merson import (
+        MersonParams, merson_init, merson_solve)
+
+    dev = jax.devices()[0]
+    log(f"device: {dev} ({dev.platform})")
+    dtype = np.float64 if args.dtype == "f64" else np.float32
+
+    pf = parse_param_file(
+        freezing_params_text(grid_nodes=args.grid_nodes), env={"OUTPUT": "/tmp"})
+    prm = FreezingParams.from_dict(pf.vars)
+    geom = GridGeometry(pf.vars["L1"], pf.vars["L2"], pf.vars["L3"],
+                        int(pf.vars["n1"]), int(pf.vars["n2"]),
+                        int(pf.vars["n3"]))
+    log(f"grid: {geom.n1} x {geom.n2} x {geom.n3} "
+        f"({geom.num_cells/1e6:.2f} M cells), dtype {args.dtype}")
+
+    w0 = build_initial_conditions(geom, prm, pf.icond_formulas, dtype=dtype)
+    ball_file = args.ball_positions or (
+        REFERENCE_BALLS if os.path.exists(REFERENCE_BALLS) else None)
+    if ball_file:
+        balls = read_ball_positions(ball_file, prm)
+    else:
+        raw = synthetic_ball_positions()
+        balls = raw * prm.beads_scaling + np.array(
+            [prm.beads_offset_x, prm.beads_offset_y, prm.beads_offset_z])
+    w0[2] = build_glass_field(geom, prm, balls, w0[2])
+
+    rhs = make_rhs(geom, prm, calc_mode=0)
+    delta = pf.vars["delta"]
+
+    steps = args.steps
+    if steps == 0:
+        steps = max(20, int(4e8 / geom.num_cells))
+
+    # NaN backoff on (the reference's recommended setting for rough starts,
+    # RK_Asolver.c:96-131) and a tame initial tau: in f32 the tau=1
+    # transient overflows the stage cascade
+    params = MersonParams(delta=delta, h_min=pf.vars["tau_min"],
+                          max_steps=steps, handle_nan=True)
+    solve = jax.jit(lambda st: merson_solve(rhs, st, 1e9, params))
+
+    def run(state):
+        out, status = solve(state)
+        jax.block_until_ready(out.y)
+        return out
+
+    state = merson_init(jnp.asarray(w0, dtype), 0.0,
+                        min(pf.vars["tau"], 1e-4))
+    log("compiling + warmup...")
+    t0 = time.time()
+    state = run(state)
+    log(f"warmup done in {time.time()-t0:.1f}s "
+        f"({int(state.steps)}/{int(state.steps_total)} steps)")
+
+    log(f"timing {steps} attempted steps...")
+    t0 = time.time()
+    before = int(state.steps_total)
+    state = run(state)
+    # fetch a scalar to really synchronize (block_until_ready can return
+    # early through the remote-TPU tunnel)
+    done = int(state.steps_total) - before
+    wall = time.time() - t0
+
+    evals = 5.0 * geom.num_cells * done
+    value = evals / wall
+    log(f"{done} attempted steps ({int(state.steps)} successful so far), "
+        f"t={float(state.t):.4f}s sim, {wall:.2f}s wall -> "
+        f"{value:.3e} cell*RHS-evals/s")
+
+    print(json.dumps({
+        "metric": "freezing_gradp_cell_rhs_evals_per_s",
+        "value": value,
+        "unit": "cell*RHS-evals/s/chip",
+        "vs_baseline": value / BASELINE_CELL_RHS_EVALS_PER_S,
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -157,9 +157,12 @@ def merson_solve(
     else:
         call_service = None
 
+    start_total = state.steps_total
+
     def cond_fun(carry):
         (_t, _h, _hc, _y, _steps, steps_total, _finished, done, _status) = carry
-        return ~done & (steps_total < params.max_steps)
+        # max_steps bounds the attempts of THIS call, not the lifetime count
+        return ~done & (steps_total - start_total < params.max_steps)
 
     def body_fun(carry):
         (t, h, h_cont, y, steps, steps_total, finished, done, status) = carry
@@ -233,11 +236,14 @@ def merson_solve(
         state.steps, state.steps_total,
         prefinished, jnp.asarray(False), jnp.asarray(OK, jnp.int32),
     )
-    (t, _h, h_cont, y, steps, steps_total, _fin, done, status) = lax.while_loop(
+    (t, h_work, h_cont, y, steps, steps_total, _fin, done, status) = lax.while_loop(
         cond_fun, body_fun, carry0)
 
     status = jnp.where(done, status, jnp.asarray(MAX_STEPS, jnp.int32))
-    new_state = MersonState(t=t, h=h_cont, y=y, steps=steps, steps_total=steps_total)
+    # normal exits continue from the untrimmed estimate; a max_steps exit
+    # must resume from the current working step
+    h_out = jnp.where(done, h_cont, h_work)
+    new_state = MersonState(t=t, h=h_out, y=y, steps=steps, steps_total=steps_total)
     return new_state, status
 
 
