@@ -59,6 +59,8 @@ def main():
     ap.add_argument("--platform", default=None,
                     help="force a jax platform (e.g. cpu for testing)")
     ap.add_argument("--ball-positions", default=None)
+    ap.add_argument("--fused", choices=["auto", "on", "off"], default="auto",
+                    help="use the Pallas fused stage+stencil kernel")
     args = ap.parse_args()
 
     if args.grid_nodes < 4:
@@ -108,6 +110,16 @@ def main():
     rhs = make_rhs(geom, prm, calc_mode=0)
     delta = pf.vars["delta"]
 
+    use_fused = (args.fused == "on" or (
+        args.fused == "auto" and dtype == np.float32
+        and jax.devices()[0].platform not in ("cpu",)))
+    stage_fn = None
+    if use_fused:
+        from porousfreezethaw_tpu.ops.pallas.stencil import (
+            make_fused_stage, pad_state)
+        stage_fn = make_fused_stage(geom, prm, calc_mode=0)
+        log("fused Pallas stage kernel: ON")
+
     steps = args.steps
     if steps == 0:
         steps = max(20, int(4e8 / geom.num_cells))
@@ -117,15 +129,18 @@ def main():
     # transient overflows the stage cascade
     params = MersonParams(delta=delta, h_min=pf.vars["tau_min"],
                           max_steps=steps, handle_nan=True)
-    solve = jax.jit(lambda st: merson_solve(rhs, st, 1e9, params))
+    solve = jax.jit(lambda st: merson_solve(rhs, st, 1e9, params,
+                                            stage_fn=stage_fn))
 
     def run(state):
         out, status = solve(state)
         jax.block_until_ready(out.y)
         return out
 
-    state = merson_init(jnp.asarray(w0, dtype), 0.0,
-                        min(pf.vars["tau"], 1e-4))
+    w_dev = jnp.asarray(w0, dtype)
+    if use_fused:
+        w_dev = pad_state(w_dev, geom)
+    state = merson_init(w_dev, 0.0, min(pf.vars["tau"], 1e-4))
     log("compiling + warmup...")
     t0 = time.time()
     state = run(state)

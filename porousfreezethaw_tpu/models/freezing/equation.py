@@ -35,9 +35,9 @@ import jax
 import jax.numpy as jnp
 
 from ...core.grid import GridGeometry
+from . import physics
 from .parameters import FreezingParams
-
-EPS_REGULARIZATION = 1e-10  # equation.c:330
+from .physics import EPS_REGULARIZATION
 
 
 class CalcMode(enum.IntEnum):
@@ -82,59 +82,21 @@ def make_rhs(geom: GridGeometry, params: FreezingParams, calc_mode: int,
     """
     mode = CalcMode(calc_mode)
     p_ = params
-
-    # precalculated auxiliaries (equation.c:439-447)
-    xi_2_inv_a = p_.a / (p_.xi * p_.xi)
-    xi_inv_b_sqrt_a2 = p_.b * (0.5 * p_.a) ** 0.5 / p_.xi
-    d_eps = p_.p_eps1 - p_.p_eps0
-    eps2_3 = 3.0 / (d_eps * d_eps)
-    eps3_2 = 2.0 / (d_eps * d_eps * d_eps)
+    coeffs = physics.Coeffs.of(p_)
 
     inv_h1, inv_h2, inv_h3 = geom.inv_h
     h1_2, h2_2, h3_2 = inv_h1**2, inv_h2**2, inv_h3**2
     h1d2, h2d2, h3d2 = 0.5 * inv_h1, 0.5 * inv_h2, 0.5 * inv_h3
 
-    # material blends (equation.c:341-357)
-    def rho(p, gl):
-        return gl * p_.glass_rho + (1.0 - gl) * (p * p_.ice_rho + (1.0 - p) * p_.water_rho)
-
-    def cp(p, gl):
-        return gl * p_.glass_cp + (1.0 - gl) * (p * p_.ice_cp + (1.0 - p) * p_.water_cp)
-
-    def lam(p, gl):
-        return gl * p_.glass_lambda + (1.0 - gl) * (p * p_.ice_lambda + (1.0 - p) * p_.water_lambda)
-
-    def water_indicator(gl):
-        # indicator of space filled with water (equation.c:359-363)
-        return jnp.maximum(0.0, 1.0 - p_.zeta * gl)
-
-    def sshape(x):
-        # S-shape limiter (equation.c:375-382), vectorized
-        xs = x - p_.p_eps0
-        mid = xs * xs * (eps2_3 - eps3_2 * xs)
-        return jnp.where(x <= p_.p_eps0, 0.0, jnp.where(x >= p_.p_eps1, 1.0, mid))
-
-    def f_gradp(u, p, gradp_norm):
-        # GradP reaction term / xi^2 (equation.c:367-371)
-        return (xi_2_inv_a * p * (1.0 - p) * (p - 0.5)
-                - p_.b * p_.alpha * p_.mu * gradp_norm * (u - p_.u_star))
-
-    def f_sigmap1_p(u, p):
-        # SigmaP1-P reaction term / xi^2 (equation.c:384-388)
-        return (xi_2_inv_a * p * (1.0 - p) * (p - 0.5)
-                - xi_inv_b_sqrt_a2 * p_.alpha * p_.mu
-                * sshape(p) * sshape(1.0 - p)
-                * jnp.maximum(p * (1.0 - p), 0.0) * (u - p_.u_star))
-
-    def dphf_du(u):
-        # derivative of the smooth temperature-based phase function
-        # (equation.c:410-421)
-        aux = jnp.cosh(p_.gamma * (u - p_.u_star))
-        return -0.5 * p_.gamma / (aux * aux)
-
-    def dirichlet_top(t):
-        # temperature at the vessel top (equation.c:96-111)
-        return jnp.where(t < p_.phase_switch_time, p_.top_temp1, p_.top_temp2)
+    # cell-local physics shared with the Pallas kernels (physics.py)
+    rho = lambda p, gl: physics.rho(p, gl, p_)
+    cp = lambda p, gl: physics.cp(p, gl, p_)
+    lam = lambda p, gl: physics.lam(p, gl, p_)
+    water_indicator = lambda gl: physics.water_indicator(gl, p_)
+    f_gradp = lambda u, p, gn: physics.f_gradp(u, p, gn, p_, coeffs)
+    f_sigmap1_p = lambda u, p: physics.f_sigmap1_p(u, p, p_, coeffs)
+    dphf_du = lambda u: physics.dphf_du(u, p_)
+    dirichlet_top = lambda t: physics.dirichlet_top(t, p_)
 
     def laplacian(f):
         """div(grad f) on the FVM grid with mirror BCs (zero flux)."""

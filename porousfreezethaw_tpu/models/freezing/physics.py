@@ -1,0 +1,84 @@
+"""Cell-local physics of the freezing model, shared by the XLA stencil
+(equation.py) and the Pallas fused kernels (ops/pallas/stencil.py).
+
+All functions are pure elementwise jnp math over arrays of any shape;
+formulas follow equation.c:341-421 and the precalculated auxiliaries
+equation.c:439-447.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+import jax.numpy as jnp
+
+from .parameters import FreezingParams
+
+EPS_REGULARIZATION = 1e-10  # equation.c:330
+
+
+@dataclasses.dataclass(frozen=True)
+class Coeffs:
+    """Precomputed scalar coefficients (PrecalculateData, equation.c:439-447)."""
+
+    xi_2_inv_a: float
+    xi_inv_b_sqrt_a2: float
+    eps2_3: float
+    eps3_2: float
+
+    @staticmethod
+    def of(p: FreezingParams) -> "Coeffs":
+        d = p.p_eps1 - p.p_eps0
+        return Coeffs(
+            xi_2_inv_a=p.a / (p.xi * p.xi),
+            xi_inv_b_sqrt_a2=p.b * (0.5 * p.a) ** 0.5 / p.xi,
+            eps2_3=3.0 / (d * d),
+            eps3_2=2.0 / (d * d * d),
+        )
+
+
+def rho(p_, gl, prm: FreezingParams):
+    return gl * prm.glass_rho + (1.0 - gl) * (
+        p_ * prm.ice_rho + (1.0 - p_) * prm.water_rho)
+
+
+def cp(p_, gl, prm: FreezingParams):
+    return gl * prm.glass_cp + (1.0 - gl) * (
+        p_ * prm.ice_cp + (1.0 - p_) * prm.water_cp)
+
+
+def lam(p_, gl, prm: FreezingParams):
+    return gl * prm.glass_lambda + (1.0 - gl) * (
+        p_ * prm.ice_lambda + (1.0 - p_) * prm.water_lambda)
+
+
+def water_indicator(gl, prm: FreezingParams):
+    return jnp.maximum(0.0, 1.0 - prm.zeta * gl)
+
+
+def sshape(x, prm: FreezingParams, c: Coeffs):
+    xs = x - prm.p_eps0
+    mid = xs * xs * (c.eps2_3 - c.eps3_2 * xs)
+    return jnp.where(x <= prm.p_eps0, 0.0,
+                     jnp.where(x >= prm.p_eps1, 1.0, mid))
+
+
+def f_gradp(u, p_, gradp_norm, prm: FreezingParams, c: Coeffs):
+    return (c.xi_2_inv_a * p_ * (1.0 - p_) * (p_ - 0.5)
+            - prm.b * prm.alpha * prm.mu * gradp_norm * (u - prm.u_star))
+
+
+def f_sigmap1_p(u, p_, prm: FreezingParams, c: Coeffs):
+    return (c.xi_2_inv_a * p_ * (1.0 - p_) * (p_ - 0.5)
+            - c.xi_inv_b_sqrt_a2 * prm.alpha * prm.mu
+            * sshape(p_, prm, c) * sshape(1.0 - p_, prm, c)
+            * jnp.maximum(p_ * (1.0 - p_), 0.0) * (u - prm.u_star))
+
+
+def dphf_du(u, prm: FreezingParams):
+    aux = jnp.cosh(prm.gamma * (u - prm.u_star))
+    return -0.5 * prm.gamma / (aux * aux)
+
+
+def dirichlet_top(t, prm: FreezingParams):
+    return jnp.where(t < prm.phase_switch_time, prm.top_temp1, prm.top_temp2)

@@ -106,6 +106,7 @@ def merson_solve(
     params: MersonParams,
     eps_mult: Any = None,
     service_callback: Optional[Callable] = None,
+    stage_fn: Optional[Callable] = None,
 ):
     """Integrate ``state`` to ``final_time``; returns ``(state, status)``.
 
@@ -118,6 +119,11 @@ def merson_solve(
     every accepted step; a nonzero return interrupts the solve, which then
     returns ``status == INTERRUPTED`` with a valid continuation ``h``
     (RK_MPI_SAsolver.c:578-601).
+
+    ``stage_fn(t_stage, h, y, [(c_i, K_i), ...]) -> K`` optionally replaces
+    the default stage evaluation ``rhs(t_stage, y + h*sum(c_i K_i))`` with
+    a fused implementation (e.g. the Pallas stage+stencil kernel in
+    ops/pallas/stencil.py) that avoids materializing the combination.
     """
     leaves = tree_util.tree_leaves(state.y)
     dtype = leaves[0].dtype
@@ -168,14 +174,21 @@ def merson_solve(
         (t, h, h_cont, y, steps, steps_total, finished, done, status) = carry
         h2, h3, h6, h8 = h / 2, h / 3, h / 6, h / 8
 
-        K1 = rhs(t, y)
-        K2 = rhs(t + h3, _tree_axpy(h3, K1, y))
-        K3 = rhs(t + h3, _tree_axpy(h6, tree_util.tree_map(jnp.add, K1, K2), y))
-        K4 = rhs(t + h2, _tree_axpy(
-            h8, tree_util.tree_map(lambda a, b: a + 3.0 * b, K1, K3), y))
-        K5 = rhs(t + h, _tree_axpy(
-            h, tree_util.tree_map(
-                lambda a, b, c: 0.5 * a - 1.5 * b + 2.0 * c, K1, K3, K4), y))
+        if stage_fn is not None:
+            K1 = stage_fn(t, h, y, [])
+            K2 = stage_fn(t + h3, h, y, [(1.0 / 3.0, K1)])
+            K3 = stage_fn(t + h3, h, y, [(1.0 / 6.0, K1), (1.0 / 6.0, K2)])
+            K4 = stage_fn(t + h2, h, y, [(1.0 / 8.0, K1), (3.0 / 8.0, K3)])
+            K5 = stage_fn(t + h, h, y, [(0.5, K1), (-1.5, K3), (2.0, K4)])
+        else:
+            K1 = rhs(t, y)
+            K2 = rhs(t + h3, _tree_axpy(h3, K1, y))
+            K3 = rhs(t + h3, _tree_axpy(h6, tree_util.tree_map(jnp.add, K1, K2), y))
+            K4 = rhs(t + h2, _tree_axpy(
+                h8, tree_util.tree_map(lambda a, b: a + 3.0 * b, K1, K3), y))
+            K5 = rhs(t + h, _tree_axpy(
+                h, tree_util.tree_map(
+                    lambda a, b, c: 0.5 * a - 1.5 * b + 2.0 * c, K1, K3, K4), y))
 
         steps_total = steps_total + 1
         eps = _eps_of(K1, K3, K4, K5)

@@ -1,0 +1,125 @@
+"""Pallas fused stage kernel vs the XLA stencil (interpret mode on CPU)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from porousfreezethaw_tpu.core.grid import GridGeometry
+from porousfreezethaw_tpu.models.freezing import make_rhs
+from porousfreezethaw_tpu.ops.pallas.stencil import (
+    fused_stage_available, make_fused_stage, pad_state, padded_extents,
+    unpad_state)
+from porousfreezethaw_tpu.solvers import MersonParams, merson_init, merson_solve
+
+from tests.test_freezing_equation import default_params
+
+
+@pytest.fixture(scope="module")
+def case():
+    geom = GridGeometry(0.03, 0.03, 0.06, 20, 10, 12)
+    prm = default_params()
+    rng = np.random.RandomState(3)
+    w = jnp.asarray(np.stack([
+        273.15 + 10 * (rng.random_sample(geom.shape) - 0.5),
+        rng.random_sample(geom.shape),
+        rng.random_sample(geom.shape) * 0.6]), jnp.float32)
+    K1 = jnp.asarray(rng.standard_normal((3,) + geom.shape), jnp.float32)
+    K3 = jnp.asarray(rng.standard_normal((3,) + geom.shape), jnp.float32)
+    return geom, prm, w, K1, K3
+
+
+def zero_pad_region(kp, geom):
+    return (kp.at[:, :, geom.n2:, :].set(0.0)
+            .at[:, :, :, geom.n1:].set(0.0))
+
+
+class TestFusedStage:
+    def test_padding_helpers(self, case):
+        geom = case[0]
+        assert padded_extents(geom) == (16, 128)
+        w = case[2]
+        wp = pad_state(w, geom)
+        assert wp.shape == (3, 12, 16, 128)
+        np.testing.assert_array_equal(unpad_state(wp, geom), w)
+        # pad is edge-replicated
+        np.testing.assert_array_equal(wp[:, :, geom.n2:, 0],
+                                      jnp.broadcast_to(w[:, :, -1:, 0], (3, 12, 6)))
+
+    def test_available(self):
+        assert fused_stage_available(jnp.float32)
+        assert not fused_stage_available(jnp.float64)
+
+    @pytest.mark.parametrize("mode", [0, 1, 2, 10, 11])
+    def test_stage_matches_xla(self, case, mode):
+        geom, prm, w, K1, K3 = case
+        rhs = make_rhs(geom, prm, mode)
+        stage = make_fused_stage(geom, prm, mode, bz=4, interpret=True)
+        wp = pad_state(w, geom)
+        K1p = zero_pad_region(pad_state(K1, geom), geom)
+        K3p = zero_pad_region(pad_state(K3, geom), geom)
+
+        h = 1e-3
+        aux = w + h * (0.125 * K1 + 0.375 * K3)
+        want = np.asarray(rhs(100.0, aux))
+        got_p = stage(100.0, h, wp, [(0.125, K1p), (0.375, K3p)])
+        got = np.asarray(unpad_state(got_p, geom))
+        scale = np.max(np.abs(want)) + 1e-30
+        # f32 rounding; mode 2's latent-heat denominator cancellation
+        # amplifies op-ordering differences a little further
+        assert np.max(np.abs(got - want)) / scale < (5e-5 if mode == 2 else 1e-5)
+        # pad region of the output must be exactly zero
+        assert float(jnp.abs(got_p[:, :, geom.n2:, :]).max()) == 0.0
+        assert float(jnp.abs(got_p[:, :, :, geom.n1:]).max()) == 0.0
+
+    def test_dirichlet_switch(self, case):
+        geom, prm, w, _, _ = case
+        stage = make_fused_stage(geom, prm, 0, bz=4, interpret=True)
+        rhs = make_rhs(geom, prm, 0)
+        wp = pad_state(w, geom)
+        for t in (prm.phase_switch_time - 1, prm.phase_switch_time + 1):
+            got = np.asarray(unpad_state(stage(t, 1e-3, wp, []), geom))
+            want = np.asarray(rhs(t, w))
+            assert np.max(np.abs(got - want)) / np.max(np.abs(want)) < 1e-5
+
+    def test_shape_validation(self, case):
+        geom, prm, w, _, _ = case
+        stage = make_fused_stage(geom, prm, 0, bz=4, interpret=True)
+        with pytest.raises(ValueError, match="padded layout"):
+            stage(0.0, 1e-3, w, [])  # unpadded input
+
+
+class TestFusedMerson:
+    def test_single_attempt_matches_default_path(self, case):
+        """One Merson attempt through stage_fn must agree with the default
+        path to f32 rounding (longer runs diverge chaotically once a single
+        f32-level accept/reject decision differs)."""
+        geom, prm, w, _, _ = case
+        rhs = make_rhs(geom, prm, 0)
+        stage = make_fused_stage(geom, prm, 0, bz=4, interpret=True)
+        params = MersonParams(delta=1e-3, h_min=1e-9, max_steps=1)
+
+        st_ref, status_ref = merson_solve(
+            rhs, merson_init(w, 0.0, 1e-4), 1.0, params)
+        st_f, status_f = merson_solve(
+            None, merson_init(pad_state(w, geom), 0.0, 1e-4), 1.0, params,
+            stage_fn=stage)
+        assert int(st_f.steps) == int(st_ref.steps) == 1
+        got = np.asarray(unpad_state(st_f.y, geom))
+        np.testing.assert_allclose(got, np.asarray(st_ref.y),
+                                   rtol=1e-4, atol=1e-5)
+        # eps is a catastrophic cancellation of the K's, so at f32 both
+        # paths sit on the rounding noise floor and the step estimate can
+        # differ by tens of percent; only sanity-check it
+        assert 0 < float(st_f.h) < 10 * float(st_ref.h)
+
+    def test_multi_step_counts_close(self, case):
+        geom, prm, w, _, _ = case
+        rhs = make_rhs(geom, prm, 0)
+        stage = make_fused_stage(geom, prm, 0, bz=4, interpret=True)
+        params = MersonParams(delta=1e-3, h_min=1e-9, max_steps=30)
+        st_ref, _ = merson_solve(rhs, merson_init(w, 0.0, 1e-4), 1.0, params)
+        st_f, _ = merson_solve(None, merson_init(pad_state(w, geom), 0.0, 1e-4),
+                               1.0, params, stage_fn=stage)
+        assert abs(int(st_f.steps) - int(st_ref.steps)) <= 2
+        assert np.all(np.isfinite(np.asarray(st_f.y)))
