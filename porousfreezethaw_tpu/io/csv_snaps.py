@@ -26,21 +26,23 @@ def snapshot_path(output_dir: str, snap: int, base: str = "snap") -> str:
 def write_dem_snapshot(path: str, state: Dict[str, np.ndarray],
                        color: np.ndarray, angular: bool) -> None:
     pos = np.asarray(state["pos"])
+    if angular:
+        header = "x,y,z,vx,vy,vz,avx,avy,avz,color"
+        rows = np.concatenate(
+            [pos, np.asarray(state["vel"]), np.asarray(state["angvel"]),
+             np.asarray(color)[:, None]], axis=1)
+    else:
+        header = "x,y,z,color"
+        rows = np.concatenate([pos, np.asarray(color)[:, None]], axis=1)
+
+    # fast path: the native C++ encoder (native/dataio.cc)
+    from .. import native
+    if native.write_dem_csv_rows(path, header, rows):
+        return
     with open(path, "w") as f:
-        if angular:
-            vel = np.asarray(state["vel"])
-            angvel = np.asarray(state["angvel"])
-            f.write("x,y,z,vx,vy,vz,avx,avy,avz,color\n")
-            for i in range(pos.shape[0]):
-                f.write("%f,%f,%f,%f,%f,%f,%f,%f,%f,%f\n" % (
-                    pos[i, 0], pos[i, 1], pos[i, 2],
-                    vel[i, 0], vel[i, 1], vel[i, 2],
-                    angvel[i, 0], angvel[i, 1], angvel[i, 2], color[i]))
-        else:
-            f.write("x,y,z,color\n")
-            for i in range(pos.shape[0]):
-                f.write("%f,%f,%f,%f\n" % (
-                    pos[i, 0], pos[i, 1], pos[i, 2], color[i]))
+        f.write(header + "\n")
+        for row in rows:
+            f.write(",".join("%f" % v for v in row) + "\n")
 
 
 def read_dem_snapshot(path: str) -> Dict[str, np.ndarray]:
