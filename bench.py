@@ -49,8 +49,52 @@ def synthetic_ball_positions(n=200, seed=0):
     return np.asarray(pos)
 
 
+BASELINE_DEM_PARTICLE_EVALS_PER_S = 820.0
+# MATLAB twin, 200-sphere dense porous-bed case: 200 particles x 151,969
+# f-evals / 37,059 s (BASELINE.md spheres_200_dense.log)
+
+
+def bench_dem(args):
+    import jax
+    import jax.numpy as jnp
+    from porousfreezethaw_tpu.models.dem import DEMConfig, icond_dense, make_dem_rhs
+    from porousfreezethaw_tpu.solvers.merson import (
+        MersonParams, merson_init, merson_solve)
+
+    dev = jax.devices()[0]
+    log(f"device: {dev} ({dev.platform})")
+    cfg = DEMConfig(variant="friction_angular", n=args.n_spheres)
+    y0, _ = icond_dense(cfg, seed=0)
+    rhs = make_dem_rhs(cfg, dtype=jnp.float32)
+    steps = args.steps or 20000
+    params = MersonParams(delta=cfg.delta, h_min=cfg.ht_min, max_steps=steps,
+                          handle_nan=True)
+    solve = jax.jit(lambda st: merson_solve(rhs, st, 1e9, params))
+    state = merson_init({k: jnp.asarray(v, jnp.float32) for k, v in y0.items()},
+                        0.0, cfg.ht)
+    log("compiling + warmup...")
+    state, _ = solve(state)
+    n0 = int(state.steps_total)
+    log(f"timing {steps} attempted steps (t={float(state.t):.3f}s sim)...")
+    t0 = time.time()
+    state, _ = solve(state)
+    done = int(state.steps_total) - n0
+    wall = time.time() - t0
+    value = 5.0 * cfg.n * done / wall
+    log(f"{done} attempts, {wall:.2f}s -> {value:.3e} particle*RHS-evals/s "
+        f"(t={float(state.t):.3f}s sim)")
+    print(json.dumps({
+        "metric": "dem_200_particle_rhs_evals_per_s",
+        "value": value,
+        "unit": "particle*RHS-evals/s/chip",
+        "vs_baseline": value / BASELINE_DEM_PARTICLE_EVALS_PER_S,
+    }))
+
+
 def main():
     ap = argparse.ArgumentParser()
+    ap.add_argument("--suite", choices=["freezing", "dem"], default="freezing")
+    ap.add_argument("--n-spheres", type=int, default=200)
     ap.add_argument("--grid-nodes", type=int, default=200,
                     help="cells along the longest side: 100=LR, 200=MR, 400=HR")
     ap.add_argument("--steps", type=int, default=0,
@@ -71,6 +115,8 @@ def main():
         jax.config.update("jax_platforms", args.platform)
     if args.dtype == "f64":
         jax.config.update("jax_enable_x64", True)
+    if args.suite == "dem":
+        return bench_dem(args)
     import jax.numpy as jnp
 
     from porousfreezethaw_tpu.cases import freezing_params_text

@@ -190,28 +190,75 @@ def run_iteration(
 
     rhs = make_rhs(geom, params, calc_mode, noise=noise)
     w_dev = jnp.asarray(w0)
+    stage_fn = None
+    unpad = lambda y: np.asarray(y)
     if mesh_axes:
         mesh = make_mesh(mesh_axes)
         w_dev = shard_freezing_state(w_dev, mesh)
         log("Device mesh: %s\n", dict(zip(mesh.axis_names, mesh.devices.shape)))
+    elif (np.dtype(dtype) == np.float32 and noise is None
+          and jax.devices()[0].platform != "cpu"):
+        # single-device TPU f32: use the fused Pallas stage kernel
+        from ..ops.pallas.stencil import (
+            make_fused_stage, pad_state, unpad_state)
+        stage_fn = make_fused_stage(geom, params, calc_mode)
+        w_dev = pad_state(w_dev, geom)
+        unpad = lambda y: np.asarray(unpad_state(y, geom))
+        log("Fused Pallas stage kernel: ON\n")
 
     state = merson_init(w_dev, starting_time, tau)
     mparams = MersonParams(delta=delta, h_min=tau_min)
 
-    # service callback: RK debug log + snapshot trigger (intertrack.c:1072-1116)
+    # service facility: RK debug log + snapshot trigger (intertrack.c:1072-1116)
     trigger_file = pf.setting("snapshot_trigger")
-    service = None
-    if debug_log is not None or trigger_file:
-        def service(t, h, steps):
-            if debug_log is not None:
-                debug_log.log_step(t, h, steps)
-            if trigger_file and os.path.exists(trigger_file):
-                return 1
-            return 0
+    want_service = debug_log is not None or bool(trigger_file)
+    platform = jax.devices()[0].platform
 
-    solve = jax.jit(
-        lambda st, ft: merson_solve(rhs, st, ft, mparams,
-                                    service_callback=service))
+    if want_service and platform != "cpu":
+        # io_callback does not work through the remote-TPU tunnel; run the
+        # solve in chunks with device-side (t, h) trace recording and do
+        # the service work on the host between chunks.  Trigger-file
+        # latency becomes `chunk` steps instead of one — the only
+        # observable difference from the reference's per-step callback.
+        import dataclasses as _dc
+        from ..solvers import merson as _m
+        chunk = 256
+        cparams = _dc.replace(mparams, max_steps=chunk, record_trace=chunk)
+        solve_chunk = jax.jit(
+            lambda st, ft: merson_solve(rhs, st, ft, cparams,
+                                        stage_fn=stage_fn))
+
+        def solve(state, ft):
+            while True:
+                prev_steps = int(state.steps)
+                state, status, (tt, hh) = solve_chunk(state, ft)
+                status = int(status)
+                n_new = int(state.steps) - prev_steps
+                if debug_log is not None and n_new:
+                    tt_h = np.asarray(tt)
+                    hh_h = np.asarray(hh)
+                    for i in range(n_new):
+                        debug_log.log_step(float(tt_h[i]), float(hh_h[i]),
+                                           prev_steps + i + 1)
+                if trigger_file and os.path.exists(trigger_file):
+                    return state, INTERRUPTED
+                if status == _m.MAX_STEPS:
+                    continue
+                return state, status
+    else:
+        service = None
+        if want_service:
+            def service(t, h, steps):
+                if debug_log is not None:
+                    debug_log.log_step(t, h, steps)
+                if trigger_file and os.path.exists(trigger_file):
+                    return 1
+                return 0
+
+        solve = jax.jit(
+            lambda st, ft: merson_solve(rhs, st, ft, mparams,
+                                        service_callback=service,
+                                        stage_fn=stage_fn))
 
     # ---------- output naming (incl. batch dirs, intertrack.c:1437-1484) ----
     out_file = pf.setting("out_file")
@@ -279,7 +326,7 @@ def run_iteration(
             on_demand_counter = 0
 
         write_snapshot(
-            filename, geom, params, np.asarray(state.y),
+            filename, geom, params, unpad(state.y),
             calc_mode=calc_mode, delta=delta, tau=float(state.h),
             t=float(state.t), final_time=final_time, snapshot=(
                 snapshot - 1 if is_on_demand else snapshot),

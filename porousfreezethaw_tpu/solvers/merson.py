@@ -80,14 +80,29 @@ class MersonParams:
     delta_mode: str = "global"     # 'global' (both reference apps) or 'local'
     handle_nan: bool = False
     max_steps: int = 2**62         # safety bound on attempted steps per call
+    record_trace: int = 0          # record (t, h) of up to N accepted steps;
+                                   # the host-callback-free way to drive the
+                                   # RK debug log on remote TPUs (io_callback
+                                   # does not work through the axon tunnel)
+
+
+def _scalar_dtype(field_dtype):
+    """Controller scalars (t, h, eps) run in f64 whenever x64 is enabled,
+    even for f32 fields: f32 time accumulation breaks down over the
+    reference's 36000 s runs (ulp(36000) in f32 is ~4 ms vs steps ~20 ms),
+    and the accept/reject comparison deserves the extra headroom."""
+    if jax.config.read("jax_enable_x64"):
+        return jnp.float64
+    return field_dtype
 
 
 def merson_init(y0, t0=0.0, h0=1.0) -> MersonState:
     leaves = tree_util.tree_leaves(y0)
     dtype = leaves[0].dtype if hasattr(leaves[0], "dtype") else jnp.result_type(float)
+    sdtype = _scalar_dtype(dtype)
     return MersonState(
-        t=jnp.asarray(t0, dtype),
-        h=jnp.asarray(h0, dtype),
+        t=jnp.asarray(t0, sdtype),
+        h=jnp.asarray(h0, sdtype),
         y=y0,
         steps=jnp.asarray(0, jnp.int64 if jax.config.read("jax_enable_x64") else jnp.int32),
         steps_total=jnp.asarray(0, jnp.int64 if jax.config.read("jax_enable_x64") else jnp.int32),
@@ -95,8 +110,11 @@ def merson_init(y0, t0=0.0, h0=1.0) -> MersonState:
 
 
 def _tree_axpy(a, x, y):
-    """y + a*x over pytrees (the solver's chunk axpy sweeps)."""
-    return tree_util.tree_map(lambda xi, yi: yi + a * xi, x, y)
+    """y + a*x over pytrees (the solver's chunk axpy sweeps).  The scalar
+    is cast to the leaf dtype so f64 control scalars never upcast f32
+    fields."""
+    return tree_util.tree_map(
+        lambda xi, yi: yi + jnp.asarray(a, xi.dtype) * xi, x, y)
 
 
 def merson_solve(
@@ -127,12 +145,13 @@ def merson_solve(
     """
     leaves = tree_util.tree_leaves(state.y)
     dtype = leaves[0].dtype
-    tf = jnp.asarray(final_time, dtype)
-    delta = jnp.asarray(params.delta, dtype)
-    h_min = jnp.asarray(params.h_min, dtype)
+    sdtype = _scalar_dtype(dtype)
+    tf = jnp.asarray(final_time, sdtype)
+    delta = jnp.asarray(params.delta, sdtype)
+    h_min = jnp.asarray(params.h_min, sdtype)
     local_mode = params.delta_mode == "local"
 
-    t0, h0 = state.t.astype(dtype), state.h.astype(dtype)
+    t0, h0 = state.t.astype(sdtype), state.h.astype(sdtype)
 
     # --- prologue: reverse h toward final_time; pre-truncate the first step
     # (RK_MPI_SAsolver.c:300-307) ---
@@ -164,14 +183,19 @@ def merson_solve(
         call_service = None
 
     start_total = state.steps_total
+    # clamp to the counter width (int32 when x64 is off: the default
+    # 2**62 sentinel would overflow the comparison)
+    max_steps = min(params.max_steps,
+                    2**62 if jax.config.read("jax_enable_x64") else 2**31 - 1)
 
     def cond_fun(carry):
-        (_t, _h, _hc, _y, _steps, steps_total, _finished, done, _status) = carry
+        steps_total, done = carry[5], carry[7]
         # max_steps bounds the attempts of THIS call, not the lifetime count
-        return ~done & (steps_total - start_total < params.max_steps)
+        return ~done & (steps_total - start_total < max_steps)
 
     def body_fun(carry):
-        (t, h, h_cont, y, steps, steps_total, finished, done, status) = carry
+        (t, h, h_cont, y, steps, steps_total, finished, done, status,
+         trace) = carry
         h2, h3, h6, h8 = h / 2, h / 3, h / 6, h / 8
 
         if stage_fn is not None:
@@ -195,9 +219,10 @@ def merson_solve(
         if local_mode:
             eps = eps * jnp.abs(h3)
 
+        eps = eps.astype(sdtype)
         new_h = jnp.where(eps > 0.0,
-                          0.8 * (delta / eps) ** jnp.asarray(0.2, dtype),
-                          jnp.asarray(2.0, dtype)) * h
+                          0.8 * (delta / eps) ** jnp.asarray(0.2, sdtype),
+                          jnp.asarray(2.0, sdtype)) * h
 
         nan_occurred = ~jnp.isfinite(eps) if params.handle_nan else jnp.asarray(False)
         accept = (eps < delta) | (jnp.abs(h) < h_min)
@@ -206,7 +231,9 @@ def merson_solve(
         do_update = accept & ~nan_occurred
         y_new = tree_util.tree_map(
             lambda yi, k1, k4, k5: jnp.where(
-                do_update, yi + h3 * (0.5 * (k1 + k5) + 2.0 * k4), yi),
+                do_update,
+                yi + jnp.asarray(h3, yi.dtype) * (0.5 * (k1 + k5) + 2.0 * k4),
+                yi),
             y, K1, K4, K5)
         t_new = jnp.where(do_update, t + h, t)
         steps_new = jnp.where(do_update, steps + 1, steps)
@@ -241,22 +268,36 @@ def merson_solve(
         finished_next = jnp.where(nan_occurred, False,
                                   jnp.where(do_update, next_finish, False))
 
-        return (t_new, h_next, h_cont_next, y_new, steps_new, steps_total,
-                finished_next, done_new, status_new)
+        if params.record_trace:
+            idx = jnp.clip(steps_new - state.steps - 1, 0,
+                           params.record_trace - 1)
+            t_tr, h_tr = trace
+            t_tr = jnp.where(do_update, t_tr.at[idx].set(t_new), t_tr)
+            h_tr = jnp.where(do_update, h_tr.at[idx].set(h), h_tr)
+            trace = (t_tr, h_tr)
 
+        return (t_new, h_next, h_cont_next, y_new, steps_new, steps_total,
+                finished_next, done_new, status_new, trace)
+
+    trace0 = (jnp.zeros((params.record_trace,), sdtype),
+              jnp.zeros((params.record_trace,), sdtype)) \
+        if params.record_trace else ()
     carry0 = (
         t0, h_start, h_cont0, state.y,
         state.steps, state.steps_total,
         prefinished, jnp.asarray(False), jnp.asarray(OK, jnp.int32),
+        trace0,
     )
-    (t, h_work, h_cont, y, steps, steps_total, _fin, done, status) = lax.while_loop(
-        cond_fun, body_fun, carry0)
+    (t, h_work, h_cont, y, steps, steps_total, _fin, done, status,
+     trace) = lax.while_loop(cond_fun, body_fun, carry0)
 
     status = jnp.where(done, status, jnp.asarray(MAX_STEPS, jnp.int32))
     # normal exits continue from the untrimmed estimate; a max_steps exit
     # must resume from the current working step
     h_out = jnp.where(done, h_cont, h_work)
     new_state = MersonState(t=t, h=h_out, y=y, steps=steps, steps_total=steps_total)
+    if params.record_trace:
+        return new_state, status, trace
     return new_state, status
 
 

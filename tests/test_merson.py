@@ -294,3 +294,29 @@ class TestRK4:
             t, y = rk4_solve(f, 0.0, jnp.ones((1,), jnp.float64), 1.0 / n, n)
             errs.append(abs(float(y[0]) - math.exp(-1.0)))
         assert errs[0] / errs[1] > 12  # ~16 for 4th order
+
+
+class TestMixedPrecision:
+    def test_f32_fields_f64_scalars(self):
+        # with x64 on, f32 fields keep their dtype while t/h run in f64
+        # (f32 time accumulation breaks over the reference's 36000s runs)
+        fj = lambda t, y: -y
+        y0 = jnp.ones((4,), jnp.float32)
+        state = merson_init(y0, 0.0, 0.1)
+        assert state.t.dtype == jnp.float64
+        assert state.h.dtype == jnp.float64
+        st, status = merson_solve(fj, state, 1.0, MersonParams(delta=1e-4))
+        assert int(status) == 0
+        assert st.y.dtype == jnp.float32
+        assert st.t.dtype == jnp.float64
+        assert float(st.y[0]) == pytest.approx(math.exp(-1.0), rel=1e-3)
+
+    def test_large_t_accumulation(self):
+        # t ~ 36000 with small h: representable exactly in f64 scalars
+        fj = lambda t, y: jnp.zeros_like(y)
+        y0 = jnp.ones((2,), jnp.float32)
+        state = merson_init(y0, 36000.0, 0.005)
+        st, status = merson_solve(fj, state, 36000.1,
+                                  MersonParams(delta=1e-6))
+        assert int(status) == 0
+        assert float(st.t) == pytest.approx(36000.1, abs=1e-9)

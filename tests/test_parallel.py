@@ -114,3 +114,54 @@ def test_graft_entry_single():
     out = jax.jit(fn)(*args)
     assert out.shape == args[1].shape
     assert np.all(np.isfinite(np.asarray(out)))
+
+
+class TestExplicitHalo:
+    """shard_map + ppermute halo path == GSPMD == single device."""
+
+    @pytest.mark.parametrize("mode", [0, 2])
+    def test_shard_map_rhs_matches(self, mode):
+        from porousfreezethaw_tpu.parallel.halo import (
+            make_shard_map_rhs, shard_spec)
+        geom, prm, w0 = make_case()
+        rhs_ref = make_rhs(geom, prm, mode)
+        want = np.asarray(jax.jit(rhs_ref)(100.0, jnp.asarray(w0)))
+
+        mesh = make_mesh("z8")
+        rhs_sm = make_shard_map_rhs(geom, prm, mode, mesh)
+        ws = jax.device_put(jnp.asarray(w0), shard_spec(mesh))
+        got = np.asarray(jax.jit(rhs_sm)(100.0, ws))
+        np.testing.assert_allclose(got, want, rtol=1e-13, atol=1e-15)
+
+    def test_dirichlet_switch_through_shard_map(self):
+        from porousfreezethaw_tpu.parallel.halo import (
+            make_shard_map_rhs, shard_spec)
+        geom, prm, w0 = make_case()
+        mesh = make_mesh("z4")
+        rhs_sm = make_shard_map_rhs(geom, prm, 0, mesh)
+        ws = jax.device_put(jnp.asarray(w0), shard_spec(mesh))
+        rhs_ref = make_rhs(geom, prm, 0)
+        for t in (prm.phase_switch_time - 1, prm.phase_switch_time + 1):
+            got = np.asarray(jax.jit(rhs_sm)(t, ws))
+            want = np.asarray(jax.jit(rhs_ref)(t, jnp.asarray(w0)))
+            np.testing.assert_allclose(got, want, rtol=1e-13, atol=1e-15)
+
+    def test_merson_through_shard_map(self):
+        from porousfreezethaw_tpu.parallel.halo import (
+            make_shard_map_rhs, shard_spec)
+        geom, prm, w0 = make_case()
+        mesh = make_mesh("z8")
+        rhs_sm = make_shard_map_rhs(geom, prm, 0, mesh)
+        rhs_ref = make_rhs(geom, prm, 0)
+        params = MersonParams(delta=1e-3, h_min=1e-9)
+
+        st1, s1 = jax.jit(lambda s: merson_solve(rhs_ref, s, 30.0, params))(
+            merson_init(jnp.asarray(w0), 0.0, 1.0))
+        ws = jax.device_put(jnp.asarray(w0), shard_spec(mesh))
+        st2, s2 = jax.jit(lambda s: merson_solve(rhs_sm, s, 30.0, params))(
+            merson_init(ws, 0.0, 1.0))
+        assert int(s1) == int(s2) == 0
+        assert int(st1.steps) == int(st2.steps)
+        assert int(st1.steps_total) == int(st2.steps_total)
+        np.testing.assert_allclose(np.asarray(st2.y), np.asarray(st1.y),
+                                   rtol=1e-12, atol=1e-14)
