@@ -153,7 +153,17 @@ def main():
             [prm.beads_offset_x, prm.beads_offset_y, prm.beads_offset_z])
     w0[2] = build_glass_field(geom, prm, balls, w0[2])
 
-    rhs = make_rhs(geom, prm, calc_mode=0)
+    # f32 production conditioning: store u - u_star (exact; see
+    # models/freezing/parameters.py::shift_temperature_origin)
+    if dtype == np.float32:
+        from porousfreezethaw_tpu.models.freezing import (
+            shift_temperature_origin)
+        w0[0] -= prm.u_star
+        prm_solver = shift_temperature_origin(prm, prm.u_star)
+    else:
+        prm_solver = prm
+
+    rhs = make_rhs(geom, prm_solver, calc_mode=0)
     delta = pf.vars["delta"]
 
     use_fused = (args.fused == "on" or (
@@ -163,7 +173,7 @@ def main():
     if use_fused:
         from porousfreezethaw_tpu.ops.pallas.stencil import (
             make_fused_stage, pad_state)
-        stage_fn = make_fused_stage(geom, prm, calc_mode=0)
+        stage_fn = make_fused_stage(geom, prm_solver, calc_mode=0)
         log("fused Pallas stage kernel: ON")
 
     steps = args.steps

@@ -48,6 +48,15 @@ class IntertrackError(RuntimeError):
     pass
 
 
+def _unshift(fields: np.ndarray, u_shift: float) -> np.ndarray:
+    """Restore absolute temperatures before writing a snapshot."""
+    if not u_shift:
+        return fields
+    out = np.array(fields, copy=True)
+    out[0] += u_shift
+    return out
+
+
 def _require(pf: ParamFile, name: str) -> float:
     try:
         return pf.get(name)
@@ -186,9 +195,19 @@ def run_iteration(
 
     # ---------- solver setup ----------
     from ..models.freezing.equation import make_rhs
+    from ..models.freezing.parameters import shift_temperature_origin
     from ..parallel.sharding import shard_freezing_state, make_mesh
 
-    rhs = make_rhs(geom, params, calc_mode, noise=noise)
+    # f32 runs store u - u_star: exact reformulation that drops the error
+    # estimator's f32 rounding floor ~16x (see shift_temperature_origin)
+    u_shift = params.u_star if np.dtype(dtype) == np.float32 else 0.0
+    solver_params = (shift_temperature_origin(params, u_shift)
+                     if u_shift else params)
+    if u_shift:
+        w0[0] -= u_shift
+        log("Temperature origin shifted by u_star for f32 conditioning.\n")
+
+    rhs = make_rhs(geom, solver_params, calc_mode, noise=noise)
     w_dev = jnp.asarray(w0)
     stage_fn = None
     unpad = lambda y: np.asarray(y)
@@ -201,7 +220,7 @@ def run_iteration(
         # single-device TPU f32: use the fused Pallas stage kernel
         from ..ops.pallas.stencil import (
             make_fused_stage, pad_state, unpad_state)
-        stage_fn = make_fused_stage(geom, params, calc_mode)
+        stage_fn = make_fused_stage(geom, solver_params, calc_mode)
         w_dev = pad_state(w_dev, geom)
         unpad = lambda y: np.asarray(unpad_state(y, geom))
         log("Fused Pallas stage kernel: ON\n")
@@ -326,7 +345,7 @@ def run_iteration(
             on_demand_counter = 0
 
         write_snapshot(
-            filename, geom, params, unpad(state.y),
+            filename, geom, params, _unshift(unpad(state.y), u_shift),
             calc_mode=calc_mode, delta=delta, tau=float(state.h),
             t=float(state.t), final_time=final_time, snapshot=(
                 snapshot - 1 if is_on_demand else snapshot),

@@ -104,3 +104,24 @@ class FreezingParams:
 
     def as_dict(self) -> Dict[str, float]:
         return {n: getattr(self, n) for n in PARAM_NAMES}
+
+
+def shift_temperature_origin(params: "FreezingParams",
+                             offset: float) -> "FreezingParams":
+    """Parameters for a temperature state stored as ``u - offset``.
+
+    The temperature enters the model only through differences (fluxes),
+    through ``u - u_star`` (reaction terms, phf), and through the
+    Dirichlet boundary values — so shifting ``u_star`` and ``top_temp1/2``
+    together with the state is *exact*.  With ``offset = u_star`` the f32
+    representation of u moves from ~293 K (ulp 3e-5) to [-25, 20] K
+    (ulp 2e-6), dropping the error estimator's rounding floor ~16x; this
+    is what makes f32 production runs step at the reference's f64 step
+    sizes (mixed-precision design; validation runs remain f64/unshifted).
+    """
+    return dataclasses.replace(
+        params,
+        u_star=params.u_star - offset,
+        top_temp1=params.top_temp1 - offset,
+        top_temp2=params.top_temp2 - offset,
+    )
