@@ -1,4 +1,5 @@
-"""Pallas fused stage kernel vs the XLA stencil (interpret mode on CPU)."""
+"""Pallas fused stage kernel vs the XLA stencil (interpret mode on CPU),
+for both the 'flat' (lane-efficient) and 'block' layouts."""
 
 import jax
 import jax.numpy as jnp
@@ -8,11 +9,13 @@ import pytest
 from porousfreezethaw_tpu.core.grid import GridGeometry
 from porousfreezethaw_tpu.models.freezing import make_rhs
 from porousfreezethaw_tpu.ops.pallas.stencil import (
-    fused_stage_available, make_fused_stage, pad_state, padded_extents,
-    unpad_state)
+    flat_extent, fused_stage_available, make_fused_stage, pad_state,
+    padded_extents, padded_shape, unpad_state)
 from porousfreezethaw_tpu.solvers import MersonParams, merson_init, merson_solve
 
 from tests.test_freezing_equation import default_params
+
+LAYOUTS = ["flat", "block"]
 
 
 @pytest.fixture(scope="module")
@@ -29,63 +32,74 @@ def case():
     return geom, prm, w, K1, K3
 
 
-def zero_pad_region(kp, geom):
+def zero_pad_region(kp, geom, layout):
+    if layout == "flat":
+        return kp.at[:, :, geom.n2 * geom.n1:].set(0.0)
     return (kp.at[:, :, geom.n2:, :].set(0.0)
             .at[:, :, :, geom.n1:].set(0.0))
 
 
-class TestFusedStage:
-    def test_padding_helpers(self, case):
+class TestLayouts:
+    def test_padded_shapes(self, case):
         geom = case[0]
         assert padded_extents(geom) == (16, 128)
-        w = case[2]
-        wp = pad_state(w, geom)
-        assert wp.shape == (3, 12, 16, 128)
-        np.testing.assert_array_equal(unpad_state(wp, geom), w)
-        # pad is edge-replicated
-        np.testing.assert_array_equal(wp[:, :, geom.n2:, 0],
-                                      jnp.broadcast_to(w[:, :, -1:, 0], (3, 12, 6)))
+        assert flat_extent(geom) == 256  # 200 -> 256
+        assert padded_shape(geom, "flat") == (3, 12, 256)
+        assert padded_shape(geom, "block") == (3, 12, 16, 128)
+
+    @pytest.mark.parametrize("layout", LAYOUTS)
+    def test_pad_roundtrip(self, case, layout):
+        geom, _, w, _, _ = case
+        wp = pad_state(w, geom, layout)
+        assert wp.shape == padded_shape(geom, layout)
+        np.testing.assert_array_equal(unpad_state(wp, geom, layout), w)
 
     def test_available(self):
         assert fused_stage_available(jnp.float32)
         assert not fused_stage_available(jnp.float64)
 
+
+class TestFusedStage:
+    @pytest.mark.parametrize("layout", LAYOUTS)
     @pytest.mark.parametrize("mode", [0, 1, 2, 10, 11])
-    def test_stage_matches_xla(self, case, mode):
+    def test_stage_matches_xla(self, case, mode, layout):
         geom, prm, w, K1, K3 = case
         rhs = make_rhs(geom, prm, mode)
-        stage = make_fused_stage(geom, prm, mode, bz=4, interpret=True)
-        wp = pad_state(w, geom)
-        K1p = zero_pad_region(pad_state(K1, geom), geom)
-        K3p = zero_pad_region(pad_state(K3, geom), geom)
+        stage = make_fused_stage(geom, prm, mode, bz=4, layout=layout,
+                                 interpret=True)
+        wp = pad_state(w, geom, layout)
+        K1p = zero_pad_region(pad_state(K1, geom, layout), geom, layout)
+        K3p = zero_pad_region(pad_state(K3, geom, layout), geom, layout)
 
         h = 1e-3
         aux = w + h * (0.125 * K1 + 0.375 * K3)
         want = np.asarray(rhs(100.0, aux))
         got_p = stage(100.0, h, wp, [(0.125, K1p), (0.375, K3p)])
-        got = np.asarray(unpad_state(got_p, geom))
+        got = np.asarray(unpad_state(got_p, geom, layout))
         scale = np.max(np.abs(want)) + 1e-30
-        # f32 rounding; mode 2's latent-heat denominator cancellation
-        # amplifies op-ordering differences a little further
         assert np.max(np.abs(got - want)) / scale < (5e-5 if mode == 2 else 1e-5)
         # pad region of the output must be exactly zero
-        assert float(jnp.abs(got_p[:, :, geom.n2:, :]).max()) == 0.0
-        assert float(jnp.abs(got_p[:, :, :, geom.n1:]).max()) == 0.0
+        if layout == "flat":
+            assert float(jnp.abs(got_p[:, :, geom.n2 * geom.n1:]).max()) == 0.0
+        else:
+            assert float(jnp.abs(got_p[:, :, geom.n2:, :]).max()) == 0.0
 
-    def test_dirichlet_switch(self, case):
+    @pytest.mark.parametrize("layout", LAYOUTS)
+    def test_dirichlet_switch(self, case, layout):
         geom, prm, w, _, _ = case
-        stage = make_fused_stage(geom, prm, 0, bz=4, interpret=True)
+        stage = make_fused_stage(geom, prm, 0, bz=4, layout=layout,
+                                 interpret=True)
         rhs = make_rhs(geom, prm, 0)
-        wp = pad_state(w, geom)
+        wp = pad_state(w, geom, layout)
         for t in (prm.phase_switch_time - 1, prm.phase_switch_time + 1):
-            got = np.asarray(unpad_state(stage(t, 1e-3, wp, []), geom))
+            got = np.asarray(unpad_state(stage(t, 1e-3, wp, []), geom, layout))
             want = np.asarray(rhs(t, w))
             assert np.max(np.abs(got - want)) / np.max(np.abs(want)) < 1e-5
 
     def test_shape_validation(self, case):
         geom, prm, w, _, _ = case
         stage = make_fused_stage(geom, prm, 0, bz=4, interpret=True)
-        with pytest.raises(ValueError, match="padded layout"):
+        with pytest.raises(ValueError, match="padded 'flat' layout"):
             stage(0.0, 1e-3, w, [])  # unpadded input
 
 
