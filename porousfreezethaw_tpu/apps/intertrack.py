@@ -349,7 +349,8 @@ def run_iteration(
             calc_mode=calc_mode, delta=delta, tau=float(state.h),
             t=float(state.t), final_time=final_time, snapshot=(
                 snapshot - 1 if is_on_demand else snapshot),
-            total_snapshots=total_snapshots, comment=comment)
+            total_snapshots=total_snapshots, comment=comment,
+            grid_mode=pf.grid_io_mode)
         log("OK]\n")
         log.commit()
 

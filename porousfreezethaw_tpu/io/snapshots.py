@@ -37,6 +37,9 @@ def snapshot_filename(out_file: str, snapshot: int, suffix: str,
     return f"{out_file}.{snapshot:03d}{suffix}"
 
 
+BCOND_THICKNESS = 2  # equation.c:38
+
+
 def write_snapshot(
     path: str,
     geom: GridGeometry,
@@ -51,15 +54,35 @@ def write_snapshot(
     snapshot: int,
     total_snapshots: int,
     comment: str = "",
+    grid_mode: str = "inner",
 ) -> None:
-    z, y, x = geom.cell_centers()
-    dims = {"n3": geom.n3, "n2": geom.n2, "n1": geom.n1}
+    """``grid_mode='full'`` reproduces the reference's troubleshooting
+    output including the bcond_thickness=2 ghost layer (grid_IO_mode==0,
+    intertrack.c:2338-2340,2436-2446): mirror ghosts everywhere, both
+    temperature ghost planes at the z-top set to the Dirichlet value."""
+    fields = np.asarray(state_fields, dtype=np.float64)
+    b = BCOND_THICKNESS if grid_mode == "full" else 0
+    if grid_mode == "full":
+        # FVM mirror: first phantom = adjacent interior (np 'symmetric')
+        fields = np.pad(fields, ((0, 0),) + ((b, b),) * 3, mode="symmetric")
+        d_val = (params.top_temp1 if t < params.phase_switch_time
+                 else params.top_temp2)
+        fields[0, -b:, :, :] = d_val
+
+    k = np.arange(fields.shape[1], dtype=np.float64)
+    j = np.arange(fields.shape[2], dtype=np.float64)
+    i = np.arange(fields.shape[3], dtype=np.float64)
+    z = geom.L3 * (0.5 + k - b) / geom.n3
+    y = geom.L2 * (0.5 + j - b) / geom.n2
+    x = geom.L1 * (0.5 + i - b) / geom.n1
+
+    dims = {"n3": fields.shape[1], "n2": fields.shape[2],
+            "n1": fields.shape[3]}
     variables = [
         ("n3", ("n3",), z), ("n2", ("n2",), y), ("n1", ("n1",), x),
     ]
     for q, name in enumerate(VARIABLES):
-        variables.append((name, ("n3", "n2", "n1"),
-                          np.asarray(state_fields[q], dtype=np.float64)))
+        variables.append((name, ("n3", "n2", "n1"), fields[q]))
 
     attrs: Dict[str, object] = {"L1": geom.L1, "L2": geom.L2, "L3": geom.L3}
     pdict = params.as_dict()

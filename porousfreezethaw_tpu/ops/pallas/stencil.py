@@ -69,14 +69,19 @@ def padded_extents(geom: GridGeometry) -> Tuple[int, int]:
     return ((geom.n2 + 7) // 8 * 8, (geom.n1 + 127) // 128 * 128)
 
 
+_LANES = 128
+
+
 def flat_extent(geom: GridGeometry) -> int:
     """Lane-aligned length of a flattened (Y*X) plane for 'flat'."""
-    return (geom.n2 * geom.n1 + 127) // 128 * 128
+    return (geom.n2 * geom.n1 + _LANES - 1) // _LANES * _LANES
 
 
 def padded_shape(geom: GridGeometry, layout: str = DEFAULT_LAYOUT):
     if layout == "flat":
-        return (3, geom.n3, flat_extent(geom))
+        # planes flattened then folded into lane rows: (rows, 128) keeps
+        # Mosaic's (sublane, lane) tiling aligned
+        return (3, geom.n3, flat_extent(geom) // _LANES, _LANES)
     Yp, Xp = padded_extents(geom)
     return (3, geom.n3, Yp, Xp)
 
@@ -87,8 +92,9 @@ def pad_state(w: jax.Array, geom: GridGeometry,
     if layout == "flat":
         P = flat_extent(geom)
         flat = w.reshape(3, geom.n3, geom.n2 * geom.n1)
-        return jnp.pad(flat, ((0, 0), (0, 0), (0, P - flat.shape[2])),
+        flat = jnp.pad(flat, ((0, 0), (0, 0), (0, P - flat.shape[2])),
                        mode="edge")
+        return flat.reshape(3, geom.n3, P // _LANES, _LANES)
     Yp, Xp = padded_extents(geom)
     return jnp.pad(w, ((0, 0), (0, 0), (0, Yp - geom.n2), (0, Xp - geom.n1)),
                    mode="edge")
@@ -96,8 +102,10 @@ def pad_state(w: jax.Array, geom: GridGeometry,
 
 def unpad_state(w: jax.Array, geom: GridGeometry,
                 layout: str = DEFAULT_LAYOUT) -> jax.Array:
-    if layout == "flat" or w.ndim == 3:
-        return w[:, :, :geom.n2 * geom.n1].reshape(
+    if w.shape[2:] == (flat_extent(geom) // _LANES, _LANES) and \
+            w.shape[2:] != (geom.n2, geom.n1):
+        flat = w.reshape(3, geom.n3, -1)
+        return flat[:, :, :geom.n2 * geom.n1].reshape(
             3, geom.n3, geom.n2, geom.n1)
     return w[:, :, :geom.n2, :geom.n1]
 
@@ -217,16 +225,32 @@ def make_fused_stage(geom: GridGeometry, params: FreezingParams,
         return out, valid
 
     def neighbors_flat(aux, last_block, bz_):
-        """aux: (3, bz+2, P) flattened planes with valid z ghosts."""
+        """aux: (3, bz+2, R, 128): flattened planes folded into lane rows,
+        valid z ghosts.  A flat offset d decomposes into a lane roll by
+        d%128 plus a row roll, with the row roll one deeper for lanes that
+        wrap (carry-aware double roll)."""
         C = slice(1, bz_ + 1)
-        P = aux.shape[2]
-        flat = lax.broadcasted_iota(jnp.int32, (bz_ + 2, P), 1)
+        R = aux.shape[2]
+        shape3 = (bz_ + 2, R, _LANES)
+        row = lax.broadcasted_iota(jnp.int32, shape3, 1)
+        lane = lax.broadcasted_iota(jnp.int32, shape3, 2)
+        flat = row * _LANES + lane
         x = flat % X0   # x/y decoding valid for the real region only
         y = flat // X0
 
+        def roll_ax(f, k, ax):
+            # Mosaic rejects rolls whose lowering contains a zero-size
+            # slice; a statically-zero roll is the identity
+            return jnp.roll(f, k, ax) if k % f.shape[ax] else f
+
         def shift(f, d, edge):
-            # in-plane neighbor at flat offset d with mirror at `edge`
-            return jnp.where(edge, f, jnp.roll(f, -d, 1))
+            dl = d % _LANES
+            dr = d // _LANES
+            base = roll_ax(f, -dl, 2)
+            no_carry = roll_ax(base, -dr, 1)
+            carry = roll_ax(base, -(dr + 1), 1)
+            s = jnp.where(lane + dl < _LANES, no_carry, carry)
+            return jnp.where(edge, f, s)
 
         x_lo, x_hi = x == 0, x == X0 - 1
         y_lo, y_hi = y == 0, y >= Y0 - 1

@@ -8,9 +8,14 @@ times a fixed number of attempted Merson steps and reports cell-RHS-evals/s
 and parallel efficiency vs 1 device.
 
 Usage:
-  XLA_FLAGS=--xla_force_host_platform_device_count=8 \
   python scripts/scaling_study.py --platform cpu --grid-nodes 64 \
-      --meshes 1,2,4,8
+      --meshes 1,2,4,8 [--weak] [--explicit-halo]
+
+NOTE: on the virtual CPU mesh the multi-device rows validate the
+*protocol* (sharded execution, halo collectives, invariant step counts) —
+virtual devices emulate collectives through the host, so their absolute
+throughput and efficiency are meaningless.  Real scaling numbers require a
+real multi-chip slice, where the same script runs unchanged.
 """
 
 import argparse
@@ -31,8 +36,17 @@ def main():
     ap.add_argument("--platform", default=None)
     ap.add_argument("--explicit-halo", action="store_true",
                     help="use the shard_map+ppermute path instead of GSPMD")
+    ap.add_argument("--weak", action="store_true",
+                    help="weak scaling: grow n3 with the device count "
+                         "(constant per-device work; the BASELINE.md "
+                         "north-star protocol)")
     args = ap.parse_args()
 
+    if args.platform == "cpu" and "host_platform_device_count" not in \
+            os.environ.get("XLA_FLAGS", ""):
+        need = max(int(m) for m in args.meshes.split(","))
+        os.environ["XLA_FLAGS"] = (os.environ.get("XLA_FLAGS", "")
+                                   + f" --xla_force_host_platform_device_count={need}").strip()
     import jax
     if args.platform:
         jax.config.update("jax_platforms", args.platform)
@@ -54,18 +68,27 @@ def main():
     pf = parse_param_file(freezing_params_text(grid_nodes=args.grid_nodes),
                           env={"OUTPUT": "/tmp"})
     prm0 = FreezingParams.from_dict(pf.vars)
-    geom = GridGeometry(pf.vars["L1"], pf.vars["L2"], pf.vars["L3"],
-                        int(pf.vars["n1"]), int(pf.vars["n2"]),
-                        int(pf.vars["n3"]))
-    w0 = build_initial_conditions(geom, prm0, pf.icond_formulas,
-                                  dtype=np.float32)
-    w0[0] -= prm0.u_star
     prm = shift_temperature_origin(prm0, prm0.u_star)
+
+    def make_case(nz):
+        # weak scaling stretches the domain and grid along z so each
+        # device keeps a constant block (the reference cannot do this
+        # without regenerating its input decks)
+        mult = nz if args.weak else 1
+        g = GridGeometry(pf.vars["L1"], pf.vars["L2"],
+                         pf.vars["L3"] * mult,
+                         int(pf.vars["n1"]), int(pf.vars["n2"]),
+                         int(pf.vars["n3"]) * mult)
+        w = build_initial_conditions(g, prm0, pf.icond_formulas,
+                                     dtype=np.float32)
+        w[0] -= prm0.u_star
+        return g, w
 
     params = MersonParams(delta=pf.vars["delta"], h_min=pf.vars["tau_min"],
                           max_steps=args.steps, handle_nan=True)
     rows = []
     for nz in [int(m) for m in args.meshes.split(",")]:
+        geom, w0 = make_case(nz)
         if nz == 1:
             rhs = make_rhs(geom, prm, 0)
             w = jnp.asarray(w0, jnp.float32)
@@ -93,6 +116,8 @@ def main():
 
     base = rows[0]["cell_rhs_evals_per_s"]
     for r in rows:
+        # strong: ideal = base*devices at fixed size; weak: per-device
+        # throughput should stay constant as the domain grows
         r["efficiency"] = r["cell_rhs_evals_per_s"] / (base * r["devices"])
     print(json.dumps(rows))
 

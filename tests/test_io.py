@@ -135,3 +135,42 @@ class TestDEMSnapshots:
         with open(path) as f:
             assert f.readline().strip() == "x,y,z,color"
             assert len(f.readlines()) == 2
+
+
+class TestGridFullMode:
+    def test_full_grid_snapshot_has_ghost_layer(self, tmp_path):
+        """grid full writes the bcond_thickness=2 ghost layer: mirror
+        everywhere, Dirichlet value on both top-z temperature planes
+        (intertrack.c:2338-2340, equation.c:113-263)."""
+        geom = GridGeometry(0.03, 0.03, 0.06, 4, 4, 8)
+        prm = default_params()
+        rng = np.random.RandomState(2)
+        fields = rng.random_sample((3,) + geom.shape) + 270.0
+        path = str(tmp_path / "full.ncd")
+        write_snapshot(path, geom, prm, fields, calc_mode=0, delta=1e-3,
+                       tau=1.0, t=100.0, final_time=1e4, snapshot=0,
+                       total_snapshots=1, grid_mode="full")
+        out = read_netcdf(path)
+        assert out.dims == {"n3": 12, "n2": 8, "n1": 8}
+        u = out.variables["u"]
+        # x mirror: ghost[-1] = interior[0], ghost[-2] = interior[1]
+        np.testing.assert_array_equal(u[2:-2, 2:-2, 1], fields[0][:, :, 0])
+        np.testing.assert_array_equal(u[2:-2, 2:-2, 0], fields[0][:, :, 1])
+        # z-top Dirichlet on both temperature ghost planes (t < switch)
+        np.testing.assert_array_equal(u[-2:], prm.top_temp1)
+        # p stays mirrored at the top
+        p = out.variables["p"]
+        np.testing.assert_array_equal(p[-1, 2:-2, 2:-2], fields[1][-2])
+        # coordinates extend below zero (ghost cell centers)
+        assert out.variables["n3"][0] == pytest.approx(
+            0.06 * (0.5 - 2) / 8)
+
+    def test_inner_default_unchanged(self, tmp_path):
+        geom = GridGeometry(0.03, 0.03, 0.06, 4, 4, 8)
+        prm = default_params()
+        fields = np.zeros((3,) + geom.shape)
+        path = str(tmp_path / "inner.ncd")
+        write_snapshot(path, geom, prm, fields, calc_mode=0, delta=1e-3,
+                       tau=1.0, t=0.0, final_time=1.0, snapshot=0,
+                       total_snapshots=1)
+        assert read_netcdf(path).dims == {"n3": 8, "n2": 4, "n1": 4}

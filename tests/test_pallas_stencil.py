@@ -34,7 +34,9 @@ def case():
 
 def zero_pad_region(kp, geom, layout):
     if layout == "flat":
-        return kp.at[:, :, geom.n2 * geom.n1:].set(0.0)
+        flat = kp.reshape(3, geom.n3, -1)
+        flat = flat.at[:, :, geom.n2 * geom.n1:].set(0.0)
+        return flat.reshape(kp.shape)
     return (kp.at[:, :, geom.n2:, :].set(0.0)
             .at[:, :, :, geom.n1:].set(0.0))
 
@@ -44,7 +46,7 @@ class TestLayouts:
         geom = case[0]
         assert padded_extents(geom) == (16, 128)
         assert flat_extent(geom) == 256  # 200 -> 256
-        assert padded_shape(geom, "flat") == (3, 12, 256)
+        assert padded_shape(geom, "flat") == (3, 12, 2, 128)
         assert padded_shape(geom, "block") == (3, 12, 16, 128)
 
     @pytest.mark.parametrize("layout", LAYOUTS)
@@ -80,7 +82,8 @@ class TestFusedStage:
         assert np.max(np.abs(got - want)) / scale < (5e-5 if mode == 2 else 1e-5)
         # pad region of the output must be exactly zero
         if layout == "flat":
-            assert float(jnp.abs(got_p[:, :, geom.n2 * geom.n1:]).max()) == 0.0
+            flat = np.asarray(got_p).reshape(3, geom.n3, -1)
+            assert float(np.abs(flat[:, :, geom.n2 * geom.n1:]).max()) == 0.0
         else:
             assert float(jnp.abs(got_p[:, :, geom.n2:, :]).max()) == 0.0
 
