@@ -103,8 +103,11 @@ def main():
     ap.add_argument("--platform", default=None,
                     help="force a jax platform (e.g. cpu for testing)")
     ap.add_argument("--ball-positions", default=None)
-    ap.add_argument("--fused", choices=["auto", "on", "off"], default="auto",
-                    help="use the Pallas fused stage+stencil kernel")
+    ap.add_argument("--fused", choices=["auto", "attempt", "stage", "on",
+                                        "off"], default="auto",
+                    help="Pallas path: 'attempt' = double-buffered full-"
+                         "attempt pipeline, 'stage' = per-stage kernels "
+                         "with fused stage-5 tail, 'auto'/'on' = attempt")
     args = ap.parse_args()
 
     if args.grid_nodes < 4:
@@ -166,15 +169,20 @@ def main():
     rhs = make_rhs(geom, prm_solver, calc_mode=0)
     delta = pf.vars["delta"]
 
-    use_fused = (args.fused == "on" or (
+    use_fused = (args.fused in ("on", "attempt", "stage") or (
         args.fused == "auto" and dtype == np.float32
         and jax.devices()[0].platform not in ("cpu",)))
     stage_fn = None
+    attempt_fn = None
     if use_fused:
         from porousfreezethaw_tpu.ops.pallas.stencil import (
-            make_fused_stage, pad_state)
-        stage_fn = make_fused_stage(geom, prm_solver, calc_mode=0)
-        log("fused Pallas stage kernel: ON")
+            make_fused_attempt, make_fused_stage, pad_state)
+        if args.fused == "stage":
+            stage_fn = make_fused_stage(geom, prm_solver, calc_mode=0)
+            log("fused Pallas stage kernels (stage-5 tail): ON")
+        else:
+            attempt_fn = make_fused_attempt(geom, prm_solver, calc_mode=0)
+            log("fused Pallas attempt pipeline: ON")
 
     steps = args.steps
     if steps == 0:
@@ -186,7 +194,8 @@ def main():
     params = MersonParams(delta=delta, h_min=pf.vars["tau_min"],
                           max_steps=steps, handle_nan=True)
     solve = jax.jit(lambda st: merson_solve(rhs, st, 1e9, params,
-                                            stage_fn=stage_fn))
+                                            stage_fn=stage_fn,
+                                            attempt_fn=attempt_fn))
 
     def run(state):
         out, status = solve(state)

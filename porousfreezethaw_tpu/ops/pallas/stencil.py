@@ -186,17 +186,10 @@ def _pick_bz(geom: GridGeometry, n_inputs: int, layout: str,
     return 1
 
 
-def make_fused_stage(geom: GridGeometry, params: FreezingParams,
-                     calc_mode: int, *, bz: int = 0,
-                     layout: str = DEFAULT_LAYOUT, interpret: bool = False):
-    """Build ``stage(t_stage, h, w, ks) -> K`` where ``ks`` is a list of
-    ``(coef, K_i)`` pairs entering the combination ``w + h*sum(c_i K_i)``.
-    Operates on the padded ``layout`` (see pad_state/unpad_state)."""
-    mode = CalcMode(calc_mode)
-    prm = params
-    coeffs = physics.Coeffs.of(prm)
-    Z, Y0, X0 = geom.n3, geom.n2, geom.n1
-    kshape = padded_shape(geom, layout)
+def _make_neighbors(geom: GridGeometry, layout: str):
+    """Neighbor extraction on a VMEM slab ``aux`` with valid z ghost
+    planes: returns ``neighbors(aux, last_block, bz_) -> (dict, valid)``."""
+    Y0, X0 = geom.n2, geom.n1
 
     def neighbors_block(aux, last_block, bz_):
         """aux: (3, bz+2, Yp, Xp) with valid z ghosts."""
@@ -267,17 +260,33 @@ def make_fused_stage(geom: GridGeometry, params: FreezingParams,
         valid = (flat < Y0 * X0)[C]
         return out, valid
 
-    neighbors = neighbors_flat if layout == "flat" else neighbors_block
+    return neighbors_flat if layout == "flat" else neighbors_block
 
-    def build_call(nk: int, bz_: int):
+
+def make_fused_stage(geom: GridGeometry, params: FreezingParams,
+                     calc_mode: int, *, bz: int = 0,
+                     layout: str = DEFAULT_LAYOUT, interpret: bool = False):
+    """Build ``stage(t_stage, h, w, ks) -> K`` where ``ks`` is a list of
+    ``(coef, K_i)`` pairs entering the combination ``w + h*sum(c_i K_i)``.
+    Operates on the padded ``layout`` (see pad_state/unpad_state)."""
+    mode = CalcMode(calc_mode)
+    prm = params
+    coeffs = physics.Coeffs.of(prm)
+    Z = geom.n3
+    kshape = padded_shape(geom, layout)
+    neighbors = _make_neighbors(geom, layout)
+
+    def build_call(nk: int, bz_: int, stage5: bool = False):
         nb = Z // bz_
         scratch_shape = (3, bz_ + 2) + kshape[2:]
         block_shape = (3, bz_) + kshape[2:]
+        n_out = 3 if stage5 else 1
 
         def kernel(scal_ref, *refs):
             ins = refs[:nk + 1]
-            out_ref = refs[nk + 1]
-            scratch = refs[nk + 2:nk + 3 + nk]
+            outs = refs[nk + 1:nk + 1 + n_out]
+            out_ref = outs[0]
+            scratch = refs[nk + 1 + n_out:nk + 2 + n_out + nk]
             sems = refs[-1]
             i = pl.program_id(0)
 
@@ -316,20 +325,47 @@ def make_fused_stage(geom: GridGeometry, params: FreezingParams,
             n, valid = neighbors(aux, last, bz_)
             du, dp = _compute_rhs(mode, prm, coeffs, geom, n)
             zero = jnp.zeros_like(du)
-            out_ref[:] = jnp.stack([jnp.where(valid, du, zero),
-                                    jnp.where(valid, dp, zero),
-                                    zero]).astype(out_ref.dtype)
+            k_out = jnp.stack([jnp.where(valid, du, zero),
+                               jnp.where(valid, dp, zero),
+                               zero]).astype(out_ref.dtype)
+            out_ref[:] = k_out
+
+            if stage5:
+                # Merson tail, all in VMEM (the K's of this stage's
+                # combination ARE K1, K3, K4): the error estimate
+                # |0.2 K1 - 0.9 K3 + 0.8 K4 - 0.1 K5| (RK_Asolver.c:202-294)
+                # and the speculative accepted state
+                # w + (h/3)((K1+K5)/2 + 2 K4) (RK_MPI_SAsolver.c:559-572).
+                C = slice(1, bz_ + 1)
+                k1c = scratch[1][:, C]
+                k3c = scratch[2][:, C]
+                k4c = scratch[3][:, C]
+                err = (0.2 * k1c - 0.9 * k3c + 0.8 * k4c - 0.1 * k_out)
+                eps = jnp.max(jnp.abs(err))
+                outs[2][:] = jnp.broadcast_to(eps, outs[2].shape)
+                h3 = h / 3.0
+                outs[1][:] = scratch[0][:, C] + h3 * (
+                    0.5 * (k1c + k_out) + 2.0 * k4c)
 
         ndim_tail = len(kshape) - 2
+        out_specs = [pl.BlockSpec(
+            block_shape, (lambda i: (0, i) + (0,) * ndim_tail),
+            memory_space=pltpu.VMEM)]
+        out_shapes = [jax.ShapeDtypeStruct(kshape, jnp.float32)]
+        if stage5:
+            out_specs.append(out_specs[0])
+            out_shapes.append(out_shapes[0])
+            out_specs.append(pl.BlockSpec((1, 8, _LANES), lambda i: (i, 0, 0),
+                                          memory_space=pltpu.VMEM))
+            out_shapes.append(jax.ShapeDtypeStruct((nb, 8, _LANES),
+                                                   jnp.float32))
         return pl.pallas_call(
             kernel,
             grid=(nb,),
             in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM)]
             + [pl.BlockSpec(memory_space=pltpu.ANY)] * (nk + 1),
-            out_specs=pl.BlockSpec(
-                block_shape, (lambda i: (0, i) + (0,) * ndim_tail),
-                memory_space=pltpu.VMEM),
-            out_shape=jax.ShapeDtypeStruct(kshape, jnp.float32),
+            out_specs=out_specs if stage5 else out_specs[0],
+            out_shape=out_shapes if stage5 else out_shapes[0],
             scratch_shapes=[pltpu.VMEM(scratch_shape, jnp.float32)
                             for _ in range(nk + 1)]
             + [pltpu.SemaphoreType.DMA((3 * (nk + 1),))],
@@ -338,20 +374,242 @@ def make_fused_stage(geom: GridGeometry, params: FreezingParams,
 
     calls = {}
 
-    def stage(t_stage, h, w, ks: Sequence[Tuple[float, jax.Array]]):
+    def _call(t_stage, h, w, ks, stage5=False):
         nk = len(ks)
         if w.shape != kshape:
             raise ValueError(
                 f"fused stage expects the padded {layout!r} layout {kshape} "
                 f"(see pad_state), got {w.shape}")
         bz_ = bz or _pick_bz(geom, nk + 1, layout)
-        if (nk, bz_) not in calls:
-            calls[(nk, bz_)] = build_call(nk, bz_)
+        key = (nk, bz_, stage5)
+        if key not in calls:
+            calls[key] = build_call(nk, bz_, stage5)
         scal = jnp.concatenate([
             jnp.reshape(jnp.asarray(t_stage, jnp.float32), (1,)),
             jnp.reshape(jnp.asarray(h, jnp.float32), (1,)),
             jnp.asarray([c for c, _ in ks], jnp.float32).reshape(nk),
         ]).reshape(1, nk + 2)
-        return calls[(nk, bz_)](scal, w, *[k for _, k in ks])
+        return calls[key](scal, w, *[k for _, k in ks])
 
+    def stage(t_stage, h, w, ks: Sequence[Tuple[float, jax.Array]]):
+        return _call(t_stage, h, w, ks)
+
+    def stage5(t_stage, h, w, ks):
+        """Fused Merson stage 5: ``ks`` must be the stage-5 combination
+        ``[(0.5, K1), (-1.5, K3), (2.0, K4)]``.  Returns
+        ``(K5, y_spec, eps_blocks)`` where ``y_spec`` is the speculative
+        accepted state and ``max(eps_blocks)`` is the max-norm error of
+        the attempt — both computed in VMEM, saving the separate error
+        and update passes over HBM."""
+        if len(ks) != 3:
+            raise ValueError("stage5 takes the 3-term K1/K3/K4 combination")
+        return _call(t_stage, h, w, ks, stage5=True)
+
+    stage.stage5 = stage5
     return stage
+
+
+# ---------------------------------------------------------------------------
+# double-buffered full-attempt pipeline
+# ---------------------------------------------------------------------------
+
+class FusedAttempt:
+    """A full Merson attempt over a double-buffered state.
+
+    The state lives in a stacked ``(2,) + padded_shape`` HBM buffer plus a
+    scalar slot index ``cur``.  Every stage kernel DMAs its ``w`` slab from
+    slot ``cur``; the stage-5 kernel computes the error max AND the
+    speculative accepted state ``w + (h/3)((K1+K5)/2 + 2 K4)`` in VMEM and
+    writes it into slot ``1-cur`` of the *same* buffer (input/output
+    aliasing), so the solver's accept/reject becomes a pure scalar flip of
+    ``cur`` — no K5 write, no error pass, no post-hoc select over HBM.
+    This replaces the reference solver's chunk axpy sweeps + eps reduction
+    + conditional update (RK_MPI_SAsolver.c:330-660) at the minimum HBM
+    traffic for the 5-stage tableau (each K read exactly when needed).
+
+    Protocol used by merson_solve:
+        carry               = pack(y_padded)       # (y2, cur)
+        carry_spec, eps_blk = attempt(t, h, carry) # runs the 5 kernels
+        carry'              = commit(carry_spec, accept)
+        y_padded            = unpack(carry)
+    """
+
+    def __init__(self, geom: GridGeometry, params: FreezingParams,
+                 calc_mode: int, *, bz: int = 0,
+                 layout: str = DEFAULT_LAYOUT, interpret: bool = False):
+        self.geom = geom
+        self.layout = layout
+        self.kshape = padded_shape(geom, layout)
+        self._interpret = interpret
+        mode = CalcMode(calc_mode)
+        prm = params
+        coeffs = physics.Coeffs.of(prm)
+        Z = geom.n3
+        kshape = self.kshape
+        neighbors = _make_neighbors(geom, layout)
+        self._calls = {}
+
+        def build_call(nk: int, bz_: int, tail: bool):
+            nb = Z // bz_
+            scratch_shape = (3, bz_ + 2) + kshape[2:]
+            block_shape = (3, bz_) + kshape[2:]
+
+            def kernel(scal_ref, cur_ref, *refs):
+                ins = refs[:nk + 1]            # [w2, K_1..K_nk]
+                outs = refs[nk + 1:nk + 3] if tail else refs[nk + 1:nk + 2]
+                scratch = refs[-(nk + 2 + (1 if tail else 0)):-1]
+                sems = refs[-1]
+                i = pl.program_id(0)
+                cur = cur_ref[0]
+
+                def src(a, ds):
+                    if a == 0:
+                        return ins[0].at[cur, :, ds]
+                    return ins[a].at[:, ds]
+
+                copies = []
+                for a in range(nk + 1):
+                    vm = scratch[a]
+                    copies.append(pltpu.make_async_copy(
+                        src(a, pl.ds(i * bz_, bz_)),
+                        vm.at[:, pl.ds(1, bz_)], sems.at[3 * a]))
+                    prev = jnp.maximum(i * bz_ - 1, 0)
+                    copies.append(pltpu.make_async_copy(
+                        src(a, pl.ds(prev, 1)),
+                        vm.at[:, pl.ds(0, 1)], sems.at[3 * a + 1]))
+                    nxt = jnp.minimum(i * bz_ + bz_, Z - 1)
+                    copies.append(pltpu.make_async_copy(
+                        src(a, pl.ds(nxt, 1)),
+                        vm.at[:, pl.ds(bz_ + 1, 1)], sems.at[3 * a + 2]))
+                for c in copies:
+                    c.start()
+                for c in copies:
+                    c.wait()
+
+                t = scal_ref[0, 0]
+                h = scal_ref[0, 1]
+                aux = scratch[0][:]
+                for a in range(nk):
+                    aux = aux + (h * scal_ref[0, 2 + a]) * scratch[1 + a][:]
+
+                last = i == nb - 1
+                plane = lax.broadcasted_iota(jnp.int32, aux.shape, 1)
+                var = lax.broadcasted_iota(jnp.int32, aux.shape, 0)
+                D = physics.dirichlet_top(t, prm).astype(aux.dtype)
+                aux = jnp.where(last & (plane == bz_ + 1) & (var == 0), D, aux)
+
+                n, valid = neighbors(aux, last, bz_)
+                du, dp = _compute_rhs(mode, prm, coeffs, geom, n)
+                zero = jnp.zeros_like(du)
+                k_out = jnp.stack([jnp.where(valid, du, zero),
+                                   jnp.where(valid, dp, zero), zero])
+
+                if not tail:
+                    outs[0][:] = k_out.astype(outs[0].dtype)
+                    return
+                # Merson tail in VMEM: error max + speculative update into
+                # the spare slot of the aliased stacked buffer
+                C = slice(1, bz_ + 1)
+                k1c = scratch[1][:, C]
+                k3c = scratch[2][:, C]
+                k4c = scratch[3][:, C]
+                err = 0.2 * k1c - 0.9 * k3c + 0.8 * k4c - 0.1 * k_out
+                outs[1][:] = jnp.broadcast_to(jnp.max(jnp.abs(err)),
+                                              outs[1].shape)
+                ybuf = scratch[nk + 1]
+                ybuf[:] = scratch[0][:, C] + (h / 3.0) * (
+                    0.5 * (k1c + k_out) + 2.0 * k4c)
+                out_cp = pltpu.make_async_copy(
+                    ybuf, outs[0].at[1 - cur, :, pl.ds(i * bz_, bz_)],
+                    sems.at[3 * (nk + 1)])
+                out_cp.start()
+                out_cp.wait()
+
+            ndim_tail = len(kshape) - 2
+            if tail:
+                out_specs = [
+                    pl.BlockSpec(memory_space=pltpu.ANY),
+                    pl.BlockSpec((1, 8, _LANES), lambda i: (i, 0, 0),
+                                 memory_space=pltpu.VMEM)]
+                out_shapes = [
+                    jax.ShapeDtypeStruct((2,) + kshape, jnp.float32),
+                    jax.ShapeDtypeStruct((nb, 8, _LANES), jnp.float32)]
+                io_aliases = {2: 0}  # stacked w2 (after scal, cur) -> out 0
+            else:
+                out_specs = pl.BlockSpec(
+                    block_shape, (lambda i: (0, i) + (0,) * ndim_tail),
+                    memory_space=pltpu.VMEM)
+                out_shapes = jax.ShapeDtypeStruct(kshape, jnp.float32)
+                io_aliases = {}
+            return pl.pallas_call(
+                kernel,
+                grid=(nb,),
+                in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM)] * 2
+                + [pl.BlockSpec(memory_space=pltpu.ANY)] * (nk + 1),
+                out_specs=out_specs,
+                out_shape=out_shapes,
+                scratch_shapes=[pltpu.VMEM(scratch_shape, jnp.float32)
+                                for _ in range(nk + 1)]
+                + ([pltpu.VMEM((3, bz_) + kshape[2:], jnp.float32)]
+                   if tail else [])
+                + [pltpu.SemaphoreType.DMA((3 * (nk + 1) + 1,))],
+                input_output_aliases=io_aliases,
+                interpret=interpret,
+            )
+
+        def call(t_stage, h, y2, cur, ks, tail=False):
+            nk = len(ks)
+            bz_ = bz or _pick_bz(geom, nk + 1, layout)
+            key = (nk, bz_, tail)
+            if key not in self._calls:
+                self._calls[key] = build_call(nk, bz_, tail)
+            scal = jnp.concatenate([
+                jnp.reshape(jnp.asarray(t_stage, jnp.float32), (1,)),
+                jnp.reshape(jnp.asarray(h, jnp.float32), (1,)),
+                jnp.asarray([c for c, _ in ks], jnp.float32).reshape(nk),
+            ]).reshape(1, nk + 2)
+            icur = jnp.reshape(jnp.asarray(cur, jnp.int32), (1,))
+            return self._calls[key](scal, icur, y2, *[k for _, k in ks])
+
+        self._call = call
+
+    # --- protocol ---
+
+    def pack(self, y):
+        if y.shape != self.kshape:
+            raise ValueError(
+                f"FusedAttempt expects the padded {self.layout!r} layout "
+                f"{self.kshape} (see pad_state), got {y.shape}")
+        return (jnp.stack([y, y]), jnp.asarray(0, jnp.int32))
+
+    def attempt(self, t, h, carry):
+        y2, cur = carry
+        K1 = self._call(t, h, y2, cur, [])
+        K2 = self._call(t + h / 3, h, y2, cur, [(1.0 / 3.0, K1)])
+        K3 = self._call(t + h / 3, h, y2, cur,
+                        [(1.0 / 6.0, K1), (1.0 / 6.0, K2)])
+        K4 = self._call(t + h / 2, h, y2, cur,
+                        [(1.0 / 8.0, K1), (3.0 / 8.0, K3)])
+        y2_new, eps_blocks = self._call(
+            t + h, h, y2, cur, [(0.5, K1), (-1.5, K3), (2.0, K4)], tail=True)
+        if self._interpret:
+            # interpret mode does not emulate input/output aliasing: restore
+            # the untouched slot so semantics match the compiled kernel
+            y2_new = y2_new.at[cur].set(y2[cur])
+        return (y2_new, cur), eps_blocks
+
+    def commit(self, carry_spec, accept):
+        y2, cur = carry_spec
+        return (y2, jnp.where(accept, 1 - cur, cur))
+
+    def unpack(self, carry):
+        y2, cur = carry
+        return lax.dynamic_index_in_dim(y2, cur, axis=0, keepdims=False)
+
+
+def make_fused_attempt(geom: GridGeometry, params: FreezingParams,
+                       calc_mode: int, *, bz: int = 0,
+                       layout: str = DEFAULT_LAYOUT,
+                       interpret: bool = False) -> FusedAttempt:
+    return FusedAttempt(geom, params, calc_mode, bz=bz, layout=layout,
+                        interpret=interpret)

@@ -125,6 +125,7 @@ def merson_solve(
     eps_mult: Any = None,
     service_callback: Optional[Callable] = None,
     stage_fn: Optional[Callable] = None,
+    attempt_fn: Optional[Any] = None,
 ):
     """Integrate ``state`` to ``final_time``; returns ``(state, status)``.
 
@@ -142,6 +143,17 @@ def merson_solve(
     the default stage evaluation ``rhs(t_stage, y + h*sum(c_i K_i))`` with
     a fused implementation (e.g. the Pallas stage+stencil kernel in
     ops/pallas/stencil.py) that avoids materializing the combination.
+    If ``stage_fn`` exposes a ``.stage5`` attribute (the fully-fused Merson
+    tail: ``(K5, y_spec, eps_blocks)``), the error estimate and the
+    accepted-state update are taken from the kernel instead of separate
+    passes over HBM — used whenever ``eps_mult`` is None (per-leaf error
+    multipliers require the generic reduction).
+
+    ``attempt_fn`` (e.g. ops.pallas.stencil.FusedAttempt) subsumes
+    ``stage_fn`` entirely: the whole 5-stage attempt runs as a
+    double-buffered kernel pipeline whose accept/reject is a scalar slot
+    flip (pack/attempt/commit/unpack protocol).  ``state.y`` must then be
+    a single padded array; ``eps_mult`` is unsupported.
     """
     leaves = tree_util.tree_leaves(state.y)
     dtype = leaves[0].dtype
@@ -161,6 +173,10 @@ def merson_solve(
     # continuation h: stays at the (reversed) input value unless a
     # NEXTFINISH saves a fresh untrimmed estimate
     h_cont0 = h_rev
+
+    if attempt_fn is not None and eps_mult is not None:
+        raise ValueError("eps_mult is not supported with attempt_fn")
+    stage5_fn = getattr(stage_fn, "stage5", None) if eps_mult is None else None
 
     if eps_mult is None:
         eps_mult = tree_util.tree_map(lambda _: jnp.asarray(1.0, dtype), state.y)
@@ -198,12 +214,20 @@ def merson_solve(
          trace) = carry
         h2, h3, h6, h8 = h / 2, h / 3, h / 6, h / 8
 
-        if stage_fn is not None:
+        y_spec = None
+        carry_spec = None
+        if attempt_fn is not None:
+            carry_spec, eps_blocks = attempt_fn.attempt(t, h, y)
+        elif stage_fn is not None:
             K1 = stage_fn(t, h, y, [])
             K2 = stage_fn(t + h3, h, y, [(1.0 / 3.0, K1)])
             K3 = stage_fn(t + h3, h, y, [(1.0 / 6.0, K1), (1.0 / 6.0, K2)])
             K4 = stage_fn(t + h2, h, y, [(1.0 / 8.0, K1), (3.0 / 8.0, K3)])
-            K5 = stage_fn(t + h, h, y, [(0.5, K1), (-1.5, K3), (2.0, K4)])
+            if stage5_fn is not None:
+                K5, y_spec, eps_blocks = stage5_fn(
+                    t + h, h, y, [(0.5, K1), (-1.5, K3), (2.0, K4)])
+            else:
+                K5 = stage_fn(t + h, h, y, [(0.5, K1), (-1.5, K3), (2.0, K4)])
         else:
             K1 = rhs(t, y)
             K2 = rhs(t + h3, _tree_axpy(h3, K1, y))
@@ -215,7 +239,10 @@ def merson_solve(
                     lambda a, b, c: 0.5 * a - 1.5 * b + 2.0 * c, K1, K3, K4), y))
 
         steps_total = steps_total + 1
-        eps = _eps_of(K1, K3, K4, K5)
+        if carry_spec is not None or y_spec is not None:
+            eps = jnp.max(eps_blocks)
+        else:
+            eps = _eps_of(K1, K3, K4, K5)
         if local_mode:
             eps = eps * jnp.abs(h3)
 
@@ -229,12 +256,18 @@ def merson_solve(
 
         # --- accepted-step update (only where accept & ~nan) ---
         do_update = accept & ~nan_occurred
-        y_new = tree_util.tree_map(
-            lambda yi, k1, k4, k5: jnp.where(
-                do_update,
-                yi + jnp.asarray(h3, yi.dtype) * (0.5 * (k1 + k5) + 2.0 * k4),
-                yi),
-            y, K1, K4, K5)
+        if carry_spec is not None:
+            y_new = attempt_fn.commit(carry_spec, do_update)
+        elif y_spec is not None:
+            y_new = tree_util.tree_map(
+                lambda ys, yi: jnp.where(do_update, ys, yi), y_spec, y)
+        else:
+            y_new = tree_util.tree_map(
+                lambda yi, k1, k4, k5: jnp.where(
+                    do_update,
+                    yi + jnp.asarray(h3, yi.dtype) * (0.5 * (k1 + k5) + 2.0 * k4),
+                    yi),
+                y, K1, K4, K5)
         t_new = jnp.where(do_update, t + h, t)
         steps_new = jnp.where(do_update, steps + 1, steps)
 
@@ -282,14 +315,17 @@ def merson_solve(
     trace0 = (jnp.zeros((params.record_trace,), sdtype),
               jnp.zeros((params.record_trace,), sdtype)) \
         if params.record_trace else ()
+    y_init = attempt_fn.pack(state.y) if attempt_fn is not None else state.y
     carry0 = (
-        t0, h_start, h_cont0, state.y,
+        t0, h_start, h_cont0, y_init,
         state.steps, state.steps_total,
         prefinished, jnp.asarray(False), jnp.asarray(OK, jnp.int32),
         trace0,
     )
     (t, h_work, h_cont, y, steps, steps_total, _fin, done, status,
      trace) = lax.while_loop(cond_fun, body_fun, carry0)
+    if attempt_fn is not None:
+        y = attempt_fn.unpack(y)
 
     status = jnp.where(done, status, jnp.asarray(MAX_STEPS, jnp.int32))
     # normal exits continue from the untrimmed estimate; a max_steps exit

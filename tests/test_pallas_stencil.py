@@ -9,8 +9,8 @@ import pytest
 from porousfreezethaw_tpu.core.grid import GridGeometry
 from porousfreezethaw_tpu.models.freezing import make_rhs
 from porousfreezethaw_tpu.ops.pallas.stencil import (
-    flat_extent, fused_stage_available, make_fused_stage, pad_state,
-    padded_extents, padded_shape, unpad_state)
+    flat_extent, fused_stage_available, make_fused_attempt, make_fused_stage,
+    pad_state, padded_extents, padded_shape, unpad_state)
 from porousfreezethaw_tpu.solvers import MersonParams, merson_init, merson_solve
 
 from tests.test_freezing_equation import default_params
@@ -98,6 +98,106 @@ class TestFusedStage:
             got = np.asarray(unpad_state(stage(t, 1e-3, wp, []), geom, layout))
             want = np.asarray(rhs(t, w))
             assert np.max(np.abs(got - want)) / np.max(np.abs(want)) < 1e-5
+
+    @pytest.mark.parametrize("layout", LAYOUTS)
+    def test_stage5_fused_tail(self, case, layout):
+        """stage5 must return K5 plus the in-VMEM error max and the
+        speculative accepted state, matching the separate-pass formulas."""
+        geom, prm, w, K1, K3 = case
+        rhs = make_rhs(geom, prm, 0)
+        stage = make_fused_stage(geom, prm, 0, bz=4, layout=layout,
+                                 interpret=True)
+        rng = np.random.RandomState(7)
+        K4 = jnp.asarray(rng.standard_normal((3,) + geom.shape), jnp.float32)
+        wp = pad_state(w, geom, layout)
+        K1p = zero_pad_region(pad_state(K1, geom, layout), geom, layout)
+        K3p = zero_pad_region(pad_state(K3, geom, layout), geom, layout)
+        K4p = zero_pad_region(pad_state(K4, geom, layout), geom, layout)
+
+        h = 1e-3
+        ks = [(0.5, K1p), (-1.5, K3p), (2.0, K4p)]
+        K5p, y_spec_p, eps_blocks = stage.stage5(100.0 + h, h, wp, ks)
+
+        # K5 identical to the plain stage call
+        np.testing.assert_array_equal(np.asarray(K5p),
+                                      np.asarray(stage(100.0 + h, h, wp, ks)))
+        K5 = np.asarray(unpad_state(K5p, geom, layout))
+        err = np.abs(0.2 * np.asarray(K1) - 0.9 * np.asarray(K3)
+                     + 0.8 * np.asarray(K4) - 0.1 * K5)
+        want_eps = float(err.max())
+        got_eps = float(jnp.max(eps_blocks))
+        assert abs(got_eps - want_eps) <= 1e-5 * want_eps
+
+        want_y = np.asarray(w) + (h / 3.0) * (
+            0.5 * (np.asarray(K1) + K5) + 2.0 * np.asarray(K4))
+        got_y = np.asarray(unpad_state(y_spec_p, geom, layout))
+        np.testing.assert_allclose(got_y, want_y, rtol=1e-5, atol=1e-6)
+        # rhs sanity: K5 itself matches the XLA stencil on the combination
+        aux = w + h * (0.5 * K1 - 1.5 * K3 + 2.0 * K4)
+        want_k5 = np.asarray(rhs(100.0 + h, aux))
+        scale = np.abs(want_k5).max()
+        assert np.abs(K5 - want_k5).max() / scale < 1e-5
+
+    def test_stage5_solver_integration(self, case):
+        """merson_solve with the .stage5 tail must track the plain fused
+        path step-for-step over a multi-step run."""
+        geom, prm, w, _, _ = case
+        stage = make_fused_stage(geom, prm, 0, bz=4, interpret=True)
+        plain = lambda *a: stage(*a)  # strips the .stage5 attribute
+        params = MersonParams(delta=1e-3, h_min=1e-9, max_steps=30)
+        st_a, _ = merson_solve(None, merson_init(pad_state(w, geom), 0.0, 1e-4),
+                               1.0, params, stage_fn=stage)
+        st_b, _ = merson_solve(None, merson_init(pad_state(w, geom), 0.0, 1e-4),
+                               1.0, params, stage_fn=plain)
+        assert int(st_a.steps) == int(st_b.steps)
+        assert int(st_a.steps_total) == int(st_b.steps_total)
+        np.testing.assert_allclose(np.asarray(st_a.y), np.asarray(st_b.y),
+                                   rtol=2e-5, atol=1e-6)
+        assert float(st_a.t) == float(st_b.t)
+
+    def test_attempt_pipeline_matches_stage5(self, case):
+        """The double-buffered FusedAttempt must reproduce the stage5 path
+        bit-for-bit (same kernels, different state plumbing)."""
+        geom, prm, w, _, _ = case
+        stage = make_fused_stage(geom, prm, 0, bz=4, interpret=True)
+        att = make_fused_attempt(geom, prm, 0, bz=4, interpret=True)
+        wp = pad_state(w, geom)
+        t, h = 100.0, 1e-3
+
+        carry = att.pack(wp)
+        carry_spec, eps_blk = att.attempt(t, h, carry)
+
+        K1 = stage(t, h, wp, [])
+        K2 = stage(t + h / 3, h, wp, [(1 / 3, K1)])
+        K3 = stage(t + h / 3, h, wp, [(1 / 6, K1), (1 / 6, K2)])
+        K4 = stage(t + h / 2, h, wp, [(1 / 8, K1), (3 / 8, K3)])
+        _, y_spec, eps_blk_ref = stage.stage5(
+            t + h, h, wp, [(0.5, K1), (-1.5, K3), (2.0, K4)])
+
+        assert float(jnp.max(eps_blk)) == float(jnp.max(eps_blk_ref))
+        accepted = att.commit(carry_spec, jnp.asarray(True))
+        np.testing.assert_array_equal(np.asarray(att.unpack(accepted)),
+                                      np.asarray(y_spec))
+        rejected = att.commit(carry_spec, jnp.asarray(False))
+        np.testing.assert_array_equal(np.asarray(att.unpack(rejected)),
+                                      np.asarray(wp))
+
+    def test_attempt_solver_integration(self, case):
+        """merson_solve(attempt_fn=...) must track the stage_fn path
+        step-for-step."""
+        geom, prm, w, _, _ = case
+        stage = make_fused_stage(geom, prm, 0, bz=4, interpret=True)
+        att = make_fused_attempt(geom, prm, 0, bz=4, interpret=True)
+        params = MersonParams(delta=1e-3, h_min=1e-9, max_steps=30)
+        st_a, _ = merson_solve(None, merson_init(pad_state(w, geom), 0.0, 1e-4),
+                               1.0, params, attempt_fn=att)
+        st_b, _ = merson_solve(None, merson_init(pad_state(w, geom), 0.0, 1e-4),
+                               1.0, params, stage_fn=stage)
+        assert int(st_a.steps) == int(st_b.steps)
+        assert int(st_a.steps_total) == int(st_b.steps_total)
+        assert float(st_a.t) == float(st_b.t)
+        np.testing.assert_allclose(np.asarray(st_a.y), np.asarray(st_b.y),
+                                   rtol=2e-5, atol=1e-6)
 
     def test_shape_validation(self, case):
         geom, prm, w, _, _ = case
