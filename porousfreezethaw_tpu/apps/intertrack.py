@@ -233,10 +233,11 @@ def run_iteration(
     want_service = debug_log is not None or bool(trigger_file)
     platform = jax.devices()[0].platform
 
-    if want_service and platform != "cpu":
-        # io_callback does not work through the remote-TPU tunnel; run the
-        # solve in chunks with device-side (t, h) trace recording and do
-        # the service work on the host between chunks.  Trigger-file
+    if want_service and (platform != "cpu" or mesh_axes):
+        # io_callback does not work through the remote-TPU tunnel, and a
+        # side-effecting callback cannot be partitioned over a mesh; run
+        # the solve in chunks with device-side (t, h) trace recording and
+        # do the service work on the host between chunks.  Trigger-file
         # latency becomes `chunk` steps instead of one — the only
         # observable difference from the reference's per-step callback.
         import dataclasses as _dc
@@ -344,13 +345,23 @@ def run_iteration(
         if not is_on_demand:
             on_demand_counter = 0
 
-        write_snapshot(
-            filename, geom, params, _unshift(unpad(state.y), u_shift),
+        snap_kw = dict(
             calc_mode=calc_mode, delta=delta, tau=float(state.h),
             t=float(state.t), final_time=final_time, snapshot=(
                 snapshot - 1 if is_on_demand else snapshot),
-            total_snapshots=total_snapshots, comment=comment,
-            grid_mode=pf.grid_io_mode)
+            total_snapshots=total_snapshots, comment=comment)
+        if mesh_axes and pf.grid_io_mode == "inner":
+            # gather-free path: unshift on device (sharding preserved),
+            # each shard's block written directly into the file
+            from ..io.snapshots import write_snapshot_sharded
+            y_out = state.y
+            if u_shift:
+                y_out = y_out.at[0].add(jnp.asarray(u_shift, y_out.dtype))
+            write_snapshot_sharded(filename, geom, params, y_out, **snap_kw)
+        else:
+            write_snapshot(
+                filename, geom, params, _unshift(unpad(state.y), u_shift),
+                grid_mode=pf.grid_io_mode, **snap_kw)
         log("OK]\n")
         log.commit()
 
@@ -414,7 +425,14 @@ def main(argv: Optional[List[str]] = None) -> int:
     ap.add_argument("--mesh", default=None,
                     help="device mesh spec, e.g. 'z' or 'z2,y4' "
                          "(shard the grid over devices)")
+    ap.add_argument("--platform", default=None,
+                    help="force a jax platform (e.g. 'cpu'; this image "
+                         "pins jax_platforms=axon over JAX_PLATFORMS)")
     args = ap.parse_args(argv)
+
+    if args.platform:
+        import jax
+        jax.config.update("jax_platforms", args.platform)
 
     # reference CLI: intertrack param_file [master_rank] [ubound_list]
     ubound_list = ""

@@ -51,12 +51,16 @@ def main(argv: Optional[List[str]] = None) -> int:
     ap.add_argument("--seed", type=int, default=None)
     ap.add_argument("--output", default="OUTPUT")
     ap.add_argument("--precision", choices=["f32", "f64"], default="f64")
+    ap.add_argument("--platform", default=None,
+                    help="force a jax platform (e.g. 'cpu'; this image "
+                         "pins jax_platforms=axon over JAX_PLATFORMS)")
     args = ap.parse_args(argv)
 
-    if args.precision == "f64":
-        import jax
-        jax.config.update("jax_enable_x64", True)
     import jax
+    if args.platform:
+        jax.config.update("jax_platforms", args.platform)
+    if args.precision == "f64":
+        jax.config.update("jax_enable_x64", True)
     import jax.numpy as jnp
 
     cfg = DEMConfig(variant=args.variant, n=args.n, r=args.r,

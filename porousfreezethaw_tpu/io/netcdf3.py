@@ -68,6 +68,61 @@ def _enc_attrs(attrs: Dict[str, AttrValue]) -> bytes:
     return b"".join(out)
 
 
+@dataclasses.dataclass
+class VarLayout:
+    """File-layout entry of one variable: where its (row-major, big-endian)
+    data block lives."""
+    begin: int
+    shape: Tuple[int, ...]
+    nc_type: int
+
+
+def _build_header(
+    dims: Dict[str, int],
+    var_specs: Sequence[Tuple[str, Sequence[str], int]],  # (name, dims, nct)
+    attrs: Dict[str, AttrValue],
+) -> Tuple[bytes, Dict[str, VarLayout], int]:
+    """Encode the CDF-2 header; returns (header_bytes, layouts, total_size)."""
+    dim_names = list(dims)
+    dim_ids = {n: i for i, n in enumerate(dim_names)}
+
+    header = [b"CDF\x02", struct.pack(">i", 0)]  # magic + numrecs
+    header.append(struct.pack(">ii", _NC_DIMENSION, len(dims)))
+    for n in dim_names:
+        header.append(_enc_name(n) + struct.pack(">i", dims[n]))
+    header.append(_enc_attrs(attrs))
+
+    var_meta = []
+    for name, vdims, nct in var_specs:
+        shape = tuple(dims[d] for d in vdims)
+        vsize = int(np.prod(shape, dtype=np.int64)) * _NC_SIZE[nct]
+        vsize += _pad4(vsize)
+        var_meta.append((name, tuple(vdims), shape, nct, vsize))
+
+    var_block = struct.pack(">ii", _NC_VARIABLE, len(var_meta))
+    fixed_entries = []
+    for name, vdims, shape, nct, vsize in var_meta:
+        entry = [_enc_name(name), struct.pack(">i", len(vdims))]
+        for d in vdims:
+            entry.append(struct.pack(">i", dim_ids[d]))
+        entry.append(struct.pack(">ii", 0, 0))   # no per-var attributes
+        entry.append(struct.pack(">ii", nct, min(vsize, 2**31 - 1)))
+        fixed_entries.append(b"".join(entry))
+    header_size = (sum(len(h) for h in header)
+                   + len(var_block)
+                   + sum(len(e) + 8 for e in fixed_entries))  # +8: begin (i64)
+
+    offset = header_size
+    layouts: Dict[str, VarLayout] = {}
+    parts = list(header) + [var_block]
+    for entry, (name, _, shape, nct, vsize) in zip(fixed_entries, var_meta):
+        parts.append(entry)
+        parts.append(struct.pack(">q", offset))
+        layouts[name] = VarLayout(begin=offset, shape=shape, nc_type=nct)
+        offset += vsize
+    return b"".join(parts), layouts, offset
+
+
 def write_netcdf(
     path: str,
     dims: Dict[str, int],
@@ -79,19 +134,8 @@ def write_netcdf(
     ``variables`` is a sequence of (name, dim_names, data); data is written
     as float64 unless it has an integer dtype (then int32).
     """
-    dim_names = list(dims)
-    dim_ids = {n: i for i, n in enumerate(dim_names)}
-
-    header = [b"CDF\x02", struct.pack(">i", 0)]  # magic + numrecs
-    # dimensions
-    header.append(struct.pack(">ii", _NC_DIMENSION, len(dims)))
-    for n in dim_names:
-        header.append(_enc_name(n) + struct.pack(">i", dims[n]))
-    # global attributes
-    header.append(_enc_attrs(attrs))
-
-    # variable metadata: compute sizes first, offsets filled after header size
-    var_meta = []
+    arrs = {}
+    var_specs = []
     for name, vdims, data in variables:
         arr = np.asarray(data)
         if np.issubdtype(arr.dtype, np.integer):
@@ -104,40 +148,70 @@ def write_netcdf(
         if arr.shape != expected:
             raise ValueError(
                 f"variable {name!r}: shape {arr.shape} != dims {expected}")
-        vsize = arr.size * _NC_SIZE[nct]
-        vsize += _pad4(vsize)
-        var_meta.append((name, vdims, arr, nct, vsize))
+        arrs[name] = arr
+        var_specs.append((name, vdims, nct))
 
-    # size of the var_list block (needed to know where data begins):
-    var_block = [struct.pack(">ii", _NC_VARIABLE, len(var_meta))]
-    fixed_entries = []
-    for name, vdims, arr, nct, vsize in var_meta:
-        entry = [_enc_name(name), struct.pack(">i", len(vdims))]
-        for d in vdims:
-            entry.append(struct.pack(">i", dim_ids[d]))
-        entry.append(struct.pack(">ii", 0, 0))   # no per-var attributes
-        entry.append(struct.pack(">ii", nct, vsize))
-        fixed_entries.append(b"".join(entry))
-    header_size = (sum(len(h) for h in header)
-                   + len(var_block[0])
-                   + sum(len(e) + 8 for e in fixed_entries))  # +8: begin (i64)
-
-    offset = header_size
-    begins = []
-    for _, _, _, _, vsize in var_meta:
-        begins.append(offset)
-        offset += vsize
-
+    header, layouts, _total = _build_header(dims, var_specs, attrs)
     with open(path, "wb") as f:
-        for h in header:
-            f.write(h)
-        f.write(var_block[0])
-        for entry, begin in zip(fixed_entries, begins):
-            f.write(entry)
-            f.write(struct.pack(">q", begin))
-        for (_, _, arr, nct, vsize) in var_meta:
-            raw = arr.tobytes()
+        f.write(header)
+        for name, _, _ in var_specs:
+            raw = arrs[name].tobytes()
             f.write(raw + b"\x00" * _pad4(len(raw)))
+
+
+def create_netcdf(
+    path: str,
+    dims: Dict[str, int],
+    var_specs: Sequence[Tuple[str, Sequence[str], int]],
+    attrs: Dict[str, AttrValue],
+) -> Dict[str, VarLayout]:
+    """Create a classic NetCDF file with header only, pre-sized for its
+    variables, to be filled with :func:`write_block` hyperslab writes —
+    the gather-free analog of nc_create + nc_enddef.  Safe for several
+    writers on a shared filesystem as long as their blocks are disjoint
+    (each pwrites its own byte ranges)."""
+    header, layouts, total = _build_header(dims, var_specs, attrs)
+    with open(path, "wb") as f:
+        f.write(header)
+        f.truncate(total)
+    return layouts
+
+
+def write_block(path: str, layout: VarLayout, block: np.ndarray,
+                start: Sequence[int]) -> None:
+    """Write a hyperslab ``block`` into variable ``layout`` at corner
+    ``start`` (the nc_put_vara analog, ``intertrack.c:2536-2546``): one
+    pwrite per contiguous run (trailing dims that span the variable are
+    coalesced)."""
+    dtype = _NC_TO_DTYPE[layout.nc_type]
+    isize = _NC_SIZE[layout.nc_type]
+    block = np.ascontiguousarray(np.asarray(block), dtype=dtype)
+    shape = layout.shape
+    if len(block.shape) != len(shape):
+        raise ValueError(f"block rank {block.shape} vs var {shape}")
+    for s, b, n in zip(start, block.shape, shape):
+        if s < 0 or s + b > n:
+            raise ValueError(f"block {block.shape}@{tuple(start)} "
+                             f"outside variable {shape}")
+    # trailing dims fully covered by the block form one contiguous run
+    ndim = len(shape)
+    run = ndim
+    while run > 0 and block.shape[run - 1] == shape[run - 1] \
+            and start[run - 1] == 0:
+        run -= 1
+    run = min(run, ndim - 1) if ndim else 0
+    lead_shape = block.shape[:run]
+    run_elems = int(np.prod(block.shape[run:], dtype=np.int64))
+    strides = np.ones(ndim, dtype=np.int64)
+    for d in range(ndim - 2, -1, -1):
+        strides[d] = strides[d + 1] * shape[d + 1]
+    flat = block.reshape(lead_shape + (run_elems,))
+    base = sum(start[d] * int(strides[d]) for d in range(ndim))
+    with open(path, "r+b") as f:
+        for idx in np.ndindex(*lead_shape):
+            off = base + sum(idx[d] * int(strides[d]) for d in range(run))
+            f.seek(layout.begin + off * isize)
+            f.write(flat[idx].tobytes())
 
 
 @dataclasses.dataclass

@@ -27,7 +27,8 @@ import numpy as np
 
 from ..core.grid import GridGeometry
 from ..models.freezing.parameters import FreezingParams, PARAM_NAMES, VARIABLES
-from .netcdf3 import read_netcdf, write_netcdf
+from .netcdf3 import (NC_DOUBLE, create_netcdf, read_netcdf, write_block,
+                      write_netcdf)
 
 
 def snapshot_filename(out_file: str, snapshot: int, suffix: str,
@@ -84,6 +85,16 @@ def write_snapshot(
     for q, name in enumerate(VARIABLES):
         variables.append((name, ("n3", "n2", "n1"), fields[q]))
 
+    attrs = _snapshot_attrs(
+        geom, params, calc_mode=calc_mode, delta=delta, tau=tau, t=t,
+        final_time=final_time, snapshot=snapshot,
+        total_snapshots=total_snapshots, comment=comment)
+
+    write_netcdf(path, dims, variables, attrs)
+
+
+def _snapshot_attrs(geom, params, *, calc_mode, delta, tau, t, final_time,
+                    snapshot, total_snapshots, comment):
     attrs: Dict[str, object] = {"L1": geom.L1, "L2": geom.L2, "L3": geom.L3}
     pdict = params.as_dict()
     for name in PARAM_NAMES:
@@ -96,8 +107,83 @@ def write_snapshot(
     attrs["snapshot"] = int(snapshot)
     attrs["total_snapshots"] = int(total_snapshots)
     attrs["title"] = f"Intertrack simulation ({comment}). Time: {t:g}"
+    return attrs
 
-    write_netcdf(path, dims, variables, attrs)
+
+def write_snapshot_sharded(
+    path: str,
+    geom: GridGeometry,
+    params: FreezingParams,
+    state,                          # jax.Array (3, n3, n2, n1), any sharding
+    *,
+    calc_mode: int,
+    delta: float,
+    tau: float,
+    t: float,
+    final_time: float,
+    snapshot: int,
+    total_snapshots: int,
+    comment: str = "",
+) -> None:
+    """Gather-free snapshot write: the same NetCDF contract as
+    :func:`write_snapshot`, but each device shard's block is written
+    directly into its hyperslab of the file (the per-host sharded
+    equivalent of the reference's gather-to-master + nc_put_vara loop,
+    ``intertrack.c:2459-2546``) — the global array is never materialized
+    on any host.
+
+    Single-process: writes every shard.  Multi-host: process 0 creates
+    the file with header + coordinates, then every process writes only
+    its *addressable* shards (shared filesystem assumed); inner-grid
+    output only.
+    """
+    import jax
+
+    if state.shape[0] != len(VARIABLES):
+        raise ValueError(f"state leading dim {state.shape[0]} != "
+                         f"{len(VARIABLES)} variables")
+    n3, n2, n1 = state.shape[1:]
+    dims = {"n3": n3, "n2": n2, "n1": n1}
+    var_specs = [("n3", ("n3",), NC_DOUBLE), ("n2", ("n2",), NC_DOUBLE),
+                 ("n1", ("n1",), NC_DOUBLE)]
+    for name in VARIABLES:
+        var_specs.append((name, ("n3", "n2", "n1"), NC_DOUBLE))
+    attrs = _snapshot_attrs(
+        geom, params, calc_mode=calc_mode, delta=delta, tau=tau, t=t,
+        final_time=final_time, snapshot=snapshot,
+        total_snapshots=total_snapshots, comment=comment)
+
+    if jax.process_index() == 0:
+        layouts = create_netcdf(path, dims, var_specs, attrs)
+        z = geom.L3 * (0.5 + np.arange(n3)) / geom.n3
+        y = geom.L2 * (0.5 + np.arange(n2)) / geom.n2
+        x = geom.L1 * (0.5 + np.arange(n1)) / geom.n1
+        write_block(path, layouts["n3"], z, (0,))
+        write_block(path, layouts["n2"], y, (0,))
+        write_block(path, layouts["n1"], x, (0,))
+    else:
+        # offsets are a pure function of (dims, var_specs, attrs):
+        # recompute instead of communicating
+        from .netcdf3 import _build_header
+        _, layouts, _ = _build_header(dims, var_specs, attrs)
+
+    seen = set()
+    for shard in state.addressable_shards:
+        if shard.replica_id != 0:
+            continue
+        idx = shard.index  # tuple of slices into (3, n3, n2, n1)
+        key = tuple((s.start, s.stop) for s in idx)
+        if key in seen:
+            continue
+        seen.add(key)
+        block = np.asarray(shard.data, dtype=np.float64)
+        qs = idx[0]
+        spatial_start = tuple(s.start or 0 for s in idx[1:])
+        for qi, q in enumerate(range(qs.start or 0,
+                                     qs.stop if qs.stop is not None
+                                     else state.shape[0])):
+            write_block(path, layouts[VARIABLES[q]], block[qi],
+                        spatial_start)
 
 
 @dataclasses.dataclass

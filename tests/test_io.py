@@ -97,6 +97,57 @@ class TestSnapshotContract:
             assert key in ck.attrs, key
         assert ck.attrs["title"] == "Intertrack simulation (Testing run). Time: 360"
 
+    def test_sharded_write_matches_gathered(self, tmp_path):
+        """write_snapshot_sharded over the 8-device CPU mesh must produce
+        a byte-identical file to the single-array write_snapshot."""
+        import jax
+        import jax.numpy as jnp
+
+        from porousfreezethaw_tpu.io.snapshots import write_snapshot_sharded
+        from porousfreezethaw_tpu.parallel.sharding import (
+            make_mesh, shard_freezing_state)
+
+        geom = GridGeometry(0.03, 0.03, 0.06, 4, 4, 8)
+        prm = default_params()
+        fields = np.random.RandomState(2).random_sample((3,) + geom.shape)
+        kw = dict(calc_mode=0, delta=1e-3, tau=0.125, t=360.0,
+                  final_time=36000.0, snapshot=5, total_snapshots=100,
+                  comment="Sharded")
+
+        ref_path = str(tmp_path / "ref.ncd")
+        write_snapshot(ref_path, geom, prm, fields, **kw)
+
+        for spec in ("z4,y2", "z8", "z2"):
+            mesh = make_mesh(spec, devices=jax.devices()[:8])
+            w = shard_freezing_state(jnp.asarray(fields), mesh)
+            path = str(tmp_path / f"sharded_{spec.replace(',', '_')}.ncd")
+            write_snapshot_sharded(path, geom, prm, w, **kw)
+            assert open(path, "rb").read() == open(ref_path, "rb").read(), spec
+
+    def test_block_writer_partial_runs(self, tmp_path):
+        """write_block must handle blocks that do not span trailing dims."""
+        from porousfreezethaw_tpu.io.netcdf3 import (
+            NC_DOUBLE, create_netcdf, write_block)
+        dims = {"a": 4, "b": 6, "c": 5}
+        layouts = create_netcdf(str(tmp_path / "f.nc"), dims,
+                                [("v", ("a", "b", "c"), NC_DOUBLE)], {})
+        full = np.zeros((4, 6, 5))
+        rng = np.random.RandomState(3)
+        # disjoint hyperslabs covering the variable
+        for (a0, na) in ((0, 2), (2, 2)):
+            for (b0, nb) in ((0, 3), (3, 3)):
+                for (c0, nc) in ((0, 5),):
+                    blk = rng.random_sample((na, nb, nc))
+                    full[a0:a0 + na, b0:b0 + nb, c0:c0 + nc] = blk
+                    write_block(str(tmp_path / "f.nc"), layouts["v"], blk,
+                                (a0, b0, c0))
+        # partial last dim too
+        blk = rng.random_sample((1, 1, 2))
+        full[1:2, 1:2, 2:4] = blk
+        write_block(str(tmp_path / "f.nc"), layouts["v"], blk, (1, 1, 2))
+        got = read_netcdf(str(tmp_path / "f.nc")).variables["v"]
+        np.testing.assert_array_equal(got, full)
+
     def test_coordinates_are_cell_centers(self, tmp_path):
         geom = GridGeometry(0.03, 0.03, 0.06, 4, 4, 8)
         prm = default_params()
