@@ -103,11 +103,16 @@ def main():
     ap.add_argument("--platform", default=None,
                     help="force a jax platform (e.g. cpu for testing)")
     ap.add_argument("--ball-positions", default=None)
+    ap.add_argument("--bz", type=int, default=0,
+                    help="force the Pallas z-block size (0 = auto)")
+    ap.add_argument("--vmem-mb", type=int, default=0,
+                    help="force the Mosaic scoped-vmem limit in MiB (0 = default)")
     ap.add_argument("--fused", choices=["auto", "attempt", "stage", "on",
                                         "off"], default="auto",
-                    help="Pallas path: 'attempt' = double-buffered full-"
-                         "attempt pipeline, 'stage' = per-stage kernels "
-                         "with fused stage-5 tail, 'auto'/'on' = attempt")
+                    help="Pallas path: 'stage' = per-stage kernels with "
+                         "fused stage-5 tail (fastest measured), "
+                         "'attempt' = double-buffered full-attempt "
+                         "pipeline, 'auto'/'on' = stage")
     args = ap.parse_args()
 
     if args.grid_nodes < 4:
@@ -177,12 +182,15 @@ def main():
     if use_fused:
         from porousfreezethaw_tpu.ops.pallas.stencil import (
             make_fused_attempt, make_fused_stage, pad_state)
-        if args.fused == "stage":
-            stage_fn = make_fused_stage(geom, prm_solver, calc_mode=0)
-            log("fused Pallas stage kernels (stage-5 tail): ON")
-        else:
-            attempt_fn = make_fused_attempt(geom, prm_solver, calc_mode=0)
+        if args.fused == "attempt":
+            attempt_fn = make_fused_attempt(geom, prm_solver, calc_mode=0,
+                                            bz=args.bz)
             log("fused Pallas attempt pipeline: ON")
+        else:
+            stage_fn = make_fused_stage(geom, prm_solver, calc_mode=0,
+                                        bz=args.bz,
+                                        vmem_limit_mb=args.vmem_mb)
+            log("fused Pallas stage kernels (stage-5 tail): ON")
 
     steps = args.steps
     if steps == 0:

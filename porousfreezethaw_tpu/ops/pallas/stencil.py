@@ -70,11 +70,18 @@ def padded_extents(geom: GridGeometry) -> Tuple[int, int]:
 
 
 _LANES = 128
+_SUBLANES = 8
+_TILE = _LANES * _SUBLANES  # one (8, 128) register tile
 
 
 def flat_extent(geom: GridGeometry) -> int:
-    """Lane-aligned length of a flattened (Y*X) plane for 'flat'."""
-    return (geom.n2 * geom.n1 + _LANES - 1) // _LANES * _LANES
+    """Tile-aligned length of a flattened (Y*X) plane for 'flat': a whole
+    number of (8, 128) tiles.  Sublane alignment matters beyond layout
+    efficiency — DMAs whose leading-dimension offset is dynamic (the
+    double-buffer slot index in FusedAttempt) fault the TPU when the
+    plane is not a whole number of tiles (empirically: (…, 79, 128)
+    faults, (…, 80, 128) is fine)."""
+    return (geom.n2 * geom.n1 + _TILE - 1) // _TILE * _TILE
 
 
 def padded_shape(geom: GridGeometry, layout: str = DEFAULT_LAYOUT):
@@ -172,16 +179,22 @@ def _compute_rhs(mode: CalcMode, prm: FreezingParams, coeffs, geom,
 # ---------------------------------------------------------------------------
 
 def _pick_bz(geom: GridGeometry, n_inputs: int, layout: str,
-             vmem_budget=12 * 2**20) -> int:
+             vmem_budget=15 * 2**20) -> int:
+    """Largest z-block whose *scoped* VMEM footprint fits the 16 MB
+    Mosaic stack limit.  Model (in single-variable planes, validated
+    against compile-time OOM reports at the HR grid): explicit scratch
+    slabs ``3*n_inputs*(bz+2)`` + ~24*bz for the neighbor-dict / RHS
+    intermediates + ~12 fixed."""
     if layout == "flat":
-        plane_bytes = 3 * flat_extent(geom) * 4
+        vplane = flat_extent(geom) * 4
     else:
         Yp, Xp = padded_extents(geom)
-        plane_bytes = 3 * Yp * Xp * 4
+        vplane = Yp * Xp * 4
     for bz in (16, 8, 4, 2, 1):
         if geom.n3 % bz:
             continue
-        if (n_inputs * (bz + 2) + 2 * bz) * plane_bytes <= vmem_budget:
+        planes = 3 * n_inputs * (bz + 2) + 24 * bz + 12
+        if planes * vplane <= vmem_budget:
             return bz
     return 1
 
@@ -265,10 +278,13 @@ def _make_neighbors(geom: GridGeometry, layout: str):
 
 def make_fused_stage(geom: GridGeometry, params: FreezingParams,
                      calc_mode: int, *, bz: int = 0,
-                     layout: str = DEFAULT_LAYOUT, interpret: bool = False):
+                     layout: str = DEFAULT_LAYOUT, interpret: bool = False,
+                     vmem_limit_mb: int = 0):
     """Build ``stage(t_stage, h, w, ks) -> K`` where ``ks`` is a list of
     ``(coef, K_i)`` pairs entering the combination ``w + h*sum(c_i K_i)``.
-    Operates on the padded ``layout`` (see pad_state/unpad_state)."""
+    Operates on the padded ``layout`` (see pad_state/unpad_state).
+    ``vmem_limit_mb`` raises Mosaic's scoped-vmem stack limit (needed for
+    large z-blocks on big planes; the 16 MB default is fastest at MR)."""
     mode = CalcMode(calc_mode)
     prm = params
     coeffs = physics.Coeffs.of(prm)
@@ -369,6 +385,9 @@ def make_fused_stage(geom: GridGeometry, params: FreezingParams,
             scratch_shapes=[pltpu.VMEM(scratch_shape, jnp.float32)
                             for _ in range(nk + 1)]
             + [pltpu.SemaphoreType.DMA((3 * (nk + 1),))],
+            compiler_params=(pltpu.CompilerParams(
+                vmem_limit_bytes=vmem_limit_mb * 2**20)
+                if vmem_limit_mb and not interpret else None),
             interpret=interpret,
         )
 
@@ -424,8 +443,20 @@ class FusedAttempt:
     aliasing), so the solver's accept/reject becomes a pure scalar flip of
     ``cur`` — no K5 write, no error pass, no post-hoc select over HBM.
     This replaces the reference solver's chunk axpy sweeps + eps reduction
-    + conditional update (RK_MPI_SAsolver.c:330-660) at the minimum HBM
-    traffic for the 5-stage tableau (each K read exactly when needed).
+    + conditional update (RK_MPI_SAsolver.c:330-660).
+
+    Measured on v5e at MR, this ties the per-stage pipeline with the
+    fused stage-5 tail (0.73 vs 0.72 ms/attempt): the stacked input has
+    five consumers per attempt, so XLA inserts a whole-buffer copy to
+    satisfy the aliasing, which cancels the traffic this design saves
+    on paper.  (A kernel-side HBM->HBM slot passthrough instead of
+    aliasing was measured slower still, 0.93 ms.)  Kept as the
+    double-buffer substrate for a future single-kernel attempt, where
+    the input would have one consumer and the copy disappears.
+
+    The padded plane must be a whole number of (8, 128) tiles
+    (``flat_extent`` guarantees it): DMAs with a *dynamic* leading-dim
+    offset fault the TPU on non-tile-aligned planes.
 
     Protocol used by merson_solve:
         carry               = pack(y_padded)       # (y2, cur)

