@@ -199,6 +199,40 @@ def _pick_bz(geom: GridGeometry, n_inputs: int, layout: str,
     return 1
 
 
+# compile-probe fallback around _pick_bz's empirical VMEM model: budget
+# scale per (padded shape, layout), lowered until the heaviest kernel
+# variant actually compiles (Mosaic reports scoped-VMEM overflow at
+# compile time, so an unvalidated shape would otherwise hard-fail)
+_BUDGET_SCALE: Dict[tuple, float] = {}
+
+
+def _validated_budget(geom: GridGeometry, layout: str, probe,
+                      kind: str) -> int:
+    """Return a VMEM budget for ``_pick_bz`` such that ``probe(bz)`` —
+    an AOT compile of the builder's heaviest kernel variant (the stage-5 /
+    tail kernel, 4 input slabs) — succeeds at the budget's pick.  Probes
+    once per (shape, layout, builder kind) per process."""
+    key = (padded_shape(geom, layout), layout, kind)
+    base = 15 * 2**20
+    if key in _BUDGET_SCALE:
+        return int(base * _BUDGET_SCALE[key])
+    scale = 1.0
+    while scale >= 1.0 / 64.0:
+        bz = _pick_bz(geom, 4, layout, vmem_budget=int(base * scale))
+        try:
+            probe(bz)
+        except Exception:
+            if bz == 1:
+                raise
+            scale *= 0.5
+            continue
+        _BUDGET_SCALE[key] = scale
+        return int(base * scale)
+    raise RuntimeError(
+        f"no z-block size compiles for grid {geom.n3}x{geom.n2}x{geom.n1} "
+        f"({layout} layout)")
+
+
 def _make_neighbors(geom: GridGeometry, layout: str):
     """Neighbor extraction on a VMEM slab ``aux`` with valid z ghost
     planes: returns ``neighbors(aux, last_block, bz_) -> (dict, valid)``."""
@@ -392,6 +426,22 @@ def make_fused_stage(geom: GridGeometry, params: FreezingParams,
         )
 
     calls = {}
+    budget_ref: list = []
+
+    def _budget() -> int:
+        """VMEM budget with the compile-probe fallback (lazy, cached)."""
+        if not budget_ref:
+            if interpret or jax.devices()[0].platform == "cpu":
+                budget_ref.append(15 * 2**20)
+            else:
+                def probe(bz_):
+                    call = build_call(3, bz_, stage5=True)
+                    args = ([jax.ShapeDtypeStruct((1, 5), jnp.float32)]
+                            + [jax.ShapeDtypeStruct(kshape, jnp.float32)] * 4)
+                    jax.jit(call).lower(*args).compile()
+                budget_ref.append(
+                    _validated_budget(geom, layout, probe, "stage"))
+        return budget_ref[0]
 
     def _call(t_stage, h, w, ks, stage5=False):
         nk = len(ks)
@@ -399,7 +449,7 @@ def make_fused_stage(geom: GridGeometry, params: FreezingParams,
             raise ValueError(
                 f"fused stage expects the padded {layout!r} layout {kshape} "
                 f"(see pad_state), got {w.shape}")
-        bz_ = bz or _pick_bz(geom, nk + 1, layout)
+        bz_ = bz or _pick_bz(geom, nk + 1, layout, vmem_budget=_budget())
         key = (nk, bz_, stage5)
         if key not in calls:
             calls[key] = build_call(nk, bz_, stage5)
@@ -588,9 +638,28 @@ class FusedAttempt:
                 interpret=interpret,
             )
 
+        budget_ref: list = []
+
+        def _budget() -> int:
+            if not budget_ref:
+                if interpret or jax.devices()[0].platform == "cpu":
+                    budget_ref.append(15 * 2**20)
+                else:
+                    def probe(bz_):
+                        c = build_call(3, bz_, tail=True)
+                        args = (
+                            [jax.ShapeDtypeStruct((1, 5), jnp.float32),
+                             jax.ShapeDtypeStruct((1,), jnp.int32),
+                             jax.ShapeDtypeStruct((2,) + kshape, jnp.float32)]
+                            + [jax.ShapeDtypeStruct(kshape, jnp.float32)] * 3)
+                        jax.jit(c).lower(*args).compile()
+                    budget_ref.append(
+                        _validated_budget(geom, layout, probe, "attempt"))
+            return budget_ref[0]
+
         def call(t_stage, h, y2, cur, ks, tail=False):
             nk = len(ks)
-            bz_ = bz or _pick_bz(geom, nk + 1, layout)
+            bz_ = bz or _pick_bz(geom, nk + 1, layout, vmem_budget=_budget())
             key = (nk, bz_, tail)
             if key not in self._calls:
                 self._calls[key] = build_call(nk, bz_, tail)
