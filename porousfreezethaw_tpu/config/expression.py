@@ -434,7 +434,13 @@ class _Parser:
             self._next()
             node = self._expr(0)
             t2 = self._peek()
-            if t2 is None or t2.kind != "rpar":
+            if t2 is None:
+                # end of expression closes all open parentheses, like the
+                # reference's Eval_Stack(precedence>32) (exp_all.cc:352-354);
+                # the shipped LR Params rely on it: the gl icond formula
+                # "0.5*(1.0 + tanh(0.5/xi_gl*(z-0.055))" lacks a ')'
+                return node
+            if t2.kind != "rpar":
                 raise ExpressionError("missing ')'", t.pos)
             self._next()
             return node

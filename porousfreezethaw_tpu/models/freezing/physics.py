@@ -76,8 +76,13 @@ def f_sigmap1_p(u, p_, prm: FreezingParams, c: Coeffs):
 
 
 def dphf_du(u, prm: FreezingParams):
-    aux = jnp.cosh(prm.gamma * (u - prm.u_star))
-    return -0.5 * prm.gamma / (aux * aux)
+    # -gamma/2 * sech^2(gamma (u - u*)), with sech written in exps as
+    # 2 e^{-|x|} / (1 + e^{-2|x|}): overflow-free at any |x| and
+    # lowerable by Mosaic (which has no cosh primitive)
+    x = jnp.abs(prm.gamma * (u - prm.u_star))
+    e = jnp.exp(-x)
+    sech = 2.0 * e / (1.0 + e * e)
+    return -0.5 * prm.gamma * (sech * sech)
 
 
 def dirichlet_top(t, prm: FreezingParams):

@@ -96,9 +96,17 @@ class TestBasics:
             ev("undefined_name + 1")
 
     def test_syntax_errors(self):
-        for bad in ["", "1 +", "(1+2", "* 3", "1 2 3 $"]:
+        for bad in ["", "1 +", "(1+2))", "* 3", "1 2 3 $"]:
             with pytest.raises(ExpressionError):
                 ev(bad)
+
+    def test_eof_closes_open_parens(self):
+        # end of expression closes all open parentheses
+        # (exp_all.cc:352-354); the shipped LR Params gl icond needs it
+        assert ev("(1+2") == 3.0
+        assert ev("2*(3+(4") == 14.0
+        assert ev("0.5*(1.0 + tanh(0.5/xi_gl*(z-0.055))",
+                  xi_gl=0.06 / 300, z=0.055) == 1.0
 
 
 class TestVectorized:
