@@ -211,12 +211,28 @@ def run_iteration(
     w_dev = jnp.asarray(w0)
     stage_fn = None
     unpad = lambda y: np.asarray(y)
+    fused_ok = (np.dtype(dtype) == np.float32 and noise is None
+                and jax.devices()[0].platform != "cpu")
     if mesh_axes:
         mesh = make_mesh(mesh_axes)
-        w_dev = shard_freezing_state(w_dev, mesh)
         log("Device mesh: %s\n", dict(zip(mesh.axis_names, mesh.devices.shape)))
-    elif (np.dtype(dtype) == np.float32 and noise is None
-          and jax.devices()[0].platform != "cpu"):
+        nz = mesh.shape.get("z", 1)
+        if (fused_ok and set(mesh.axis_names) == {"z"}
+                and geom.n3 % nz == 0 and geom.n3 // nz >= 2):
+            # sharded fused Pallas path: per-stage z-halo ppermute over
+            # the ICI ring inside the stage kernels (parallel/fused.py)
+            from ..ops.pallas.stencil import pad_state, unpad_state
+            from ..parallel.fused import (
+                make_sharded_fused_stage, padded_sharding)
+            stage_fn = make_sharded_fused_stage(
+                geom, solver_params, calc_mode, mesh)
+            w_dev = jax.device_put(pad_state(w_dev, geom),
+                                   padded_sharding(mesh))
+            unpad = lambda y: np.asarray(unpad_state(y, geom))
+            log("Fused Pallas stage kernel: ON (sharded over z=%d)\n", nz)
+        else:
+            w_dev = shard_freezing_state(w_dev, mesh)
+    elif fused_ok:
         # single-device TPU f32: use the fused Pallas stage kernel
         from ..ops.pallas.stencil import (
             make_fused_stage, pad_state, unpad_state)
@@ -350,9 +366,11 @@ def run_iteration(
             t=float(state.t), final_time=final_time, snapshot=(
                 snapshot - 1 if is_on_demand else snapshot),
             total_snapshots=total_snapshots, comment=comment)
-        if mesh_axes and pf.grid_io_mode == "inner":
+        if mesh_axes and stage_fn is None and pf.grid_io_mode == "inner":
             # gather-free path: unshift on device (sharding preserved),
             # each shard's block written directly into the file
+            # (the fused path's padded layout goes through the gathered
+            # writer below)
             from ..io.snapshots import write_snapshot_sharded
             y_out = state.y
             if u_shift:
@@ -442,12 +460,14 @@ def main(argv: Optional[List[str]] = None) -> int:
     if extra:
         ubound_list = extra.pop(0)
 
-    if args.precision == "f64":
-        import jax
-        jax.config.update("jax_enable_x64", True)
-        dtype = np.float64
-    else:
-        dtype = np.float32
+    # x64 is always on: --precision selects the FIELD dtype only, while
+    # the Merson controller scalars (t, h, eps comparisons) must be f64
+    # regardless (solvers/merson.py::_scalar_dtype) — with f32 time
+    # accumulation, t+h == t once h < ulp(t)/2 (~1 ms at t=36000 s) and
+    # the solve stalls at the phase-switch discontinuity
+    import jax
+    jax.config.update("jax_enable_x64", True)
+    dtype = np.float64 if args.precision == "f64" else np.float32
 
     ubounds = [int(u) for u in ubound_list.split(",") if u] if ubound_list else []
     with open(args.param_file) as f:

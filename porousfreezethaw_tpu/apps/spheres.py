@@ -59,8 +59,11 @@ def main(argv: Optional[List[str]] = None) -> int:
     import jax
     if args.platform:
         jax.config.update("jax_platforms", args.platform)
-    if args.precision == "f64":
-        jax.config.update("jax_enable_x64", True)
+    # x64 always on: --precision selects the state dtype; the Merson
+    # controller scalars must be f64 (f32 time accumulation stalls once
+    # the step drops below ulp(t)/2 — the DEM's stiff contacts reach
+    # h ~ 1e-6 at t ~ 8)
+    jax.config.update("jax_enable_x64", True)
     import jax.numpy as jnp
 
     cfg = DEMConfig(variant=args.variant, n=args.n, r=args.r,

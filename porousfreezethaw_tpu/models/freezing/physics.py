@@ -53,14 +53,18 @@ def lam(p_, gl, prm: FreezingParams):
 
 
 def water_indicator(gl, prm: FreezingParams):
-    return jnp.maximum(0.0, 1.0 - prm.zeta * gl)
+    # scalar bounds follow the array dtype: under x64, a bare python
+    # 0.0 becomes an f64[] select operand whose f64->f32 conversion
+    # Mosaic cannot lower (infinite recursion in the lowering rule)
+    expr = 1.0 - prm.zeta * gl
+    return jnp.maximum(jnp.zeros_like(expr), expr)
 
 
 def sshape(x, prm: FreezingParams, c: Coeffs):
     xs = x - prm.p_eps0
     mid = xs * xs * (c.eps2_3 - c.eps3_2 * xs)
-    return jnp.where(x <= prm.p_eps0, 0.0,
-                     jnp.where(x >= prm.p_eps1, 1.0, mid))
+    return jnp.where(x <= prm.p_eps0, jnp.zeros_like(mid),
+                     jnp.where(x >= prm.p_eps1, jnp.ones_like(mid), mid))
 
 
 def f_gradp(u, p_, gradp_norm, prm: FreezingParams, c: Coeffs):
@@ -69,10 +73,11 @@ def f_gradp(u, p_, gradp_norm, prm: FreezingParams, c: Coeffs):
 
 
 def f_sigmap1_p(u, p_, prm: FreezingParams, c: Coeffs):
+    pq = p_ * (1.0 - p_)
     return (c.xi_2_inv_a * p_ * (1.0 - p_) * (p_ - 0.5)
             - c.xi_inv_b_sqrt_a2 * prm.alpha * prm.mu
             * sshape(p_, prm, c) * sshape(1.0 - p_, prm, c)
-            * jnp.maximum(p_ * (1.0 - p_), 0.0) * (u - prm.u_star))
+            * jnp.maximum(pq, jnp.zeros_like(pq)) * (u - prm.u_star))
 
 
 def dphf_du(u, prm: FreezingParams):
@@ -86,4 +91,8 @@ def dphf_du(u, prm: FreezingParams):
 
 
 def dirichlet_top(t, prm: FreezingParams):
-    return jnp.where(t < prm.phase_switch_time, prm.top_temp1, prm.top_temp2)
+    # branch values follow t's dtype (see water_indicator note)
+    dt = jnp.result_type(t)
+    return jnp.where(t < prm.phase_switch_time,
+                     jnp.asarray(prm.top_temp1, dt),
+                     jnp.asarray(prm.top_temp2, dt))

@@ -275,8 +275,11 @@ def _make_neighbors(geom: GridGeometry, layout: str):
         row = lax.broadcasted_iota(jnp.int32, shape3, 1)
         lane = lax.broadcasted_iota(jnp.int32, shape3, 2)
         flat = row * _LANES + lane
-        x = flat % X0   # x/y decoding valid for the real region only
-        y = flat // X0
+        # int32 divisor: under x64 a bare python int becomes a weak-i64
+        # scalar whose i64->i32 conversion Mosaic cannot lower
+        x0 = jnp.int32(X0)
+        x = flat % x0   # x/y decoding valid for the real region only
+        y = flat // x0
 
         def roll_ax(f, k, ax):
             # Mosaic rejects rolls whose lowering contains a zero-size
@@ -313,18 +316,36 @@ def _make_neighbors(geom: GridGeometry, layout: str):
 def make_fused_stage(geom: GridGeometry, params: FreezingParams,
                      calc_mode: int, *, bz: int = 0,
                      layout: str = DEFAULT_LAYOUT, interpret: bool = False,
-                     vmem_limit_mb: int = 0):
+                     vmem_limit_mb: int = 0, n3_local: int = 0,
+                     shard_ghosts: bool = False):
     """Build ``stage(t_stage, h, w, ks) -> K`` where ``ks`` is a list of
     ``(coef, K_i)`` pairs entering the combination ``w + h*sum(c_i K_i)``.
     Operates on the padded ``layout`` (see pad_state/unpad_state).
     ``vmem_limit_mb`` raises Mosaic's scoped-vmem stack limit (needed for
-    large z-blocks on big planes; the 16 MB default is fastest at MR)."""
+    large z-blocks on big planes; the 16 MB default is fastest at MR).
+
+    ``n3_local``/``shard_ghosts`` adapt the kernel to one z-shard of a
+    device mesh (see ``parallel/fused.py``): the kernel covers
+    ``n3_local`` planes and takes two explicit ghost-plane stacks of
+    shape ``(nk+1, 3) + plane`` — one raw edge plane per *input* (w and
+    each K), overwriting the clamped edge planes of the first/last
+    z-block before the stage combination.  The caller supplies them from
+    its z-neighbors via ``ppermute``, or from the physical BCs at the
+    chain ends.  Combining raw planes inside the kernel (instead of
+    receiving pre-combined ``aux`` ghosts) keeps sharded and
+    single-device results bitwise identical: the ghost values equal the
+    planes the single-device kernel DMAs itself, and the combination
+    arithmetic is the kernel's own.  Physics spacings always come from
+    the *global* ``geom``."""
     mode = CalcMode(calc_mode)
     prm = params
     coeffs = physics.Coeffs.of(prm)
-    Z = geom.n3
-    kshape = padded_shape(geom, layout)
+    Z = n3_local or geom.n3
+    import dataclasses as _dc
+    geom_local = _dc.replace(geom, n3=Z) if n3_local else geom
+    kshape = (3, Z) + padded_shape(geom, layout)[2:]
     neighbors = _make_neighbors(geom, layout)
+    n_ghost = 2 if shard_ghosts else 0
 
     def build_call(nk: int, bz_: int, stage5: bool = False):
         nb = Z // bz_
@@ -334,11 +355,15 @@ def make_fused_stage(geom: GridGeometry, params: FreezingParams,
 
         def kernel(scal_ref, *refs):
             ins = refs[:nk + 1]
-            outs = refs[nk + 1:nk + 1 + n_out]
+            ghosts = refs[nk + 1:nk + 1 + n_ghost]
+            outs = refs[nk + 1 + n_ghost:nk + 1 + n_ghost + n_out]
             out_ref = outs[0]
-            scratch = refs[nk + 1 + n_out:nk + 2 + n_out + nk]
+            scratch = refs[nk + 1 + n_ghost + n_out:
+                           nk + 2 + n_ghost + n_out + nk]
             sems = refs[-1]
-            i = pl.program_id(0)
+            # int32 index arithmetic: under x64 the DMA slice offsets
+            # would otherwise become i64, which tpu.memref_slice rejects
+            i = jnp.asarray(pl.program_id(0), jnp.int32)
 
             copies = []
             for a, (hbm, vm) in enumerate(zip(ins, scratch)):
@@ -360,17 +385,35 @@ def make_fused_stage(geom: GridGeometry, params: FreezingParams,
 
             t = scal_ref[0, 0]
             h = scal_ref[0, 1]
+            last = i == nb - 1
+            if shard_ghosts:
+                # shard-boundary planes come from the caller (neighbor
+                # ppermute or physical BC): overwrite the clamped edge
+                # plane of each input slab before combining
+                @pl.when(i == 0)
+                def _():
+                    for a in range(nk + 1):
+                        scratch[a][:, 0] = ghosts[0][a]
+
+                @pl.when(last)
+                def _():
+                    for a in range(nk + 1):
+                        scratch[a][:, bz_ + 1] = ghosts[1][a]
+
             aux = scratch[0][:]
             for a in range(nk):
                 aux = aux + (h * scal_ref[0, 2 + a]) * scratch[1 + a][:]
 
-            # Dirichlet top BC on u: overwrite the combined last ghost
-            # plane (equation.c:113-185)
-            last = i == nb - 1
-            plane = lax.broadcasted_iota(jnp.int32, aux.shape, 1)
-            var = lax.broadcasted_iota(jnp.int32, aux.shape, 0)
-            D = physics.dirichlet_top(t, prm).astype(aux.dtype)
-            aux = jnp.where(last & (plane == bz_ + 1) & (var == 0), D, aux)
+            if not shard_ghosts:
+                # Dirichlet top BC on u: overwrite the combined last ghost
+                # plane (equation.c:113-185); in shard mode the ghost
+                # stack itself carries the BC (w ghost u-plane = D, K
+                # ghost u-planes = 0, so the combination is exactly D)
+                plane = lax.broadcasted_iota(jnp.int32, aux.shape, 1)
+                var = lax.broadcasted_iota(jnp.int32, aux.shape, 0)
+                D = physics.dirichlet_top(t, prm).astype(aux.dtype)
+                aux = jnp.where(last & (plane == bz_ + 1) & (var == 0),
+                                D, aux)
 
             n, valid = neighbors(aux, last, bz_)
             du, dp = _compute_rhs(mode, prm, coeffs, geom, n)
@@ -413,7 +456,8 @@ def make_fused_stage(geom: GridGeometry, params: FreezingParams,
             kernel,
             grid=(nb,),
             in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM)]
-            + [pl.BlockSpec(memory_space=pltpu.ANY)] * (nk + 1),
+            + [pl.BlockSpec(memory_space=pltpu.ANY)] * (nk + 1)
+            + [pl.BlockSpec(memory_space=pltpu.VMEM)] * n_ghost,
             out_specs=out_specs if stage5 else out_specs[0],
             out_shape=out_shapes if stage5 else out_shapes[0],
             scratch_shapes=[pltpu.VMEM(scratch_shape, jnp.float32)
@@ -437,19 +481,28 @@ def make_fused_stage(geom: GridGeometry, params: FreezingParams,
                 def probe(bz_):
                     call = build_call(3, bz_, stage5=True)
                     args = ([jax.ShapeDtypeStruct((1, 5), jnp.float32)]
-                            + [jax.ShapeDtypeStruct(kshape, jnp.float32)] * 4)
-                    jax.jit(call).lower(*args).compile()
+                            + [jax.ShapeDtypeStruct(kshape, jnp.float32)] * 4
+                            + [jax.ShapeDtypeStruct((4, 3) + kshape[2:],
+                                                    jnp.float32)] * n_ghost)
+                    with jax.enable_x64(False):
+                        jax.jit(call).lower(*args).compile()
                 budget_ref.append(
-                    _validated_budget(geom, layout, probe, "stage"))
+                    _validated_budget(geom_local, layout, probe,
+                                      "stage-ghost" if shard_ghosts
+                                      else "stage"))
         return budget_ref[0]
 
-    def _call(t_stage, h, w, ks, stage5=False):
+    def _call(t_stage, h, w, ks, ghosts=(), stage5=False):
         nk = len(ks)
         if w.shape != kshape:
             raise ValueError(
                 f"fused stage expects the padded {layout!r} layout {kshape} "
                 f"(see pad_state), got {w.shape}")
-        bz_ = bz or _pick_bz(geom, nk + 1, layout, vmem_budget=_budget())
+        if len(ghosts) != n_ghost:
+            raise ValueError(
+                f"expected {n_ghost} ghost planes, got {len(ghosts)}")
+        bz_ = bz or _pick_bz(geom_local, nk + 1, layout,
+                             vmem_budget=_budget())
         key = (nk, bz_, stage5)
         if key not in calls:
             calls[key] = build_call(nk, bz_, stage5)
@@ -458,21 +511,37 @@ def make_fused_stage(geom: GridGeometry, params: FreezingParams,
             jnp.reshape(jnp.asarray(h, jnp.float32), (1,)),
             jnp.asarray([c for c, _ in ks], jnp.float32).reshape(nk),
         ]).reshape(1, nk + 2)
-        return calls[key](scal, w, *[k for _, k in ks])
+        # trace the kernel in x32 mode: under x64, Mosaic materializes
+        # DMA slice indices as i64, which tpu.memref_slice rejects
+        # (observed on jax 0.9.0); all kernel operands are f32 anyway
+        with jax.enable_x64(False):
+            return calls[key](scal, w, *[k for _, k in ks], *ghosts)
 
-    def stage(t_stage, h, w, ks: Sequence[Tuple[float, jax.Array]]):
-        return _call(t_stage, h, w, ks)
+    if shard_ghosts:
+        def stage(t_stage, h, w, ks, ghost_lo, ghost_hi):
+            return _call(t_stage, h, w, ks, (ghost_lo, ghost_hi))
 
-    def stage5(t_stage, h, w, ks):
-        """Fused Merson stage 5: ``ks`` must be the stage-5 combination
-        ``[(0.5, K1), (-1.5, K3), (2.0, K4)]``.  Returns
-        ``(K5, y_spec, eps_blocks)`` where ``y_spec`` is the speculative
-        accepted state and ``max(eps_blocks)`` is the max-norm error of
-        the attempt — both computed in VMEM, saving the separate error
-        and update passes over HBM."""
-        if len(ks) != 3:
-            raise ValueError("stage5 takes the 3-term K1/K3/K4 combination")
-        return _call(t_stage, h, w, ks, stage5=True)
+        def stage5(t_stage, h, w, ks, ghost_lo, ghost_hi):
+            if len(ks) != 3:
+                raise ValueError(
+                    "stage5 takes the 3-term K1/K3/K4 combination")
+            return _call(t_stage, h, w, ks, (ghost_lo, ghost_hi),
+                         stage5=True)
+    else:
+        def stage(t_stage, h, w, ks: Sequence[Tuple[float, jax.Array]]):
+            return _call(t_stage, h, w, ks)
+
+        def stage5(t_stage, h, w, ks):
+            """Fused Merson stage 5: ``ks`` must be the stage-5 combination
+            ``[(0.5, K1), (-1.5, K3), (2.0, K4)]``.  Returns
+            ``(K5, y_spec, eps_blocks)`` where ``y_spec`` is the
+            speculative accepted state and ``max(eps_blocks)`` is the
+            max-norm error of the attempt — both computed in VMEM, saving
+            the separate error and update passes over HBM."""
+            if len(ks) != 3:
+                raise ValueError(
+                    "stage5 takes the 3-term K1/K3/K4 combination")
+            return _call(t_stage, h, w, ks, stage5=True)
 
     stage.stage5 = stage5
     return stage
@@ -540,7 +609,7 @@ class FusedAttempt:
                 outs = refs[nk + 1:nk + 3] if tail else refs[nk + 1:nk + 2]
                 scratch = refs[-(nk + 2 + (1 if tail else 0)):-1]
                 sems = refs[-1]
-                i = pl.program_id(0)
+                i = jnp.asarray(pl.program_id(0), jnp.int32)
                 cur = cur_ref[0]
 
                 def src(a, ds):
@@ -652,7 +721,8 @@ class FusedAttempt:
                              jax.ShapeDtypeStruct((1,), jnp.int32),
                              jax.ShapeDtypeStruct((2,) + kshape, jnp.float32)]
                             + [jax.ShapeDtypeStruct(kshape, jnp.float32)] * 3)
-                        jax.jit(c).lower(*args).compile()
+                        with jax.enable_x64(False):
+                            jax.jit(c).lower(*args).compile()
                     budget_ref.append(
                         _validated_budget(geom, layout, probe, "attempt"))
             return budget_ref[0]
@@ -669,7 +739,10 @@ class FusedAttempt:
                 jnp.asarray([c for c, _ in ks], jnp.float32).reshape(nk),
             ]).reshape(1, nk + 2)
             icur = jnp.reshape(jnp.asarray(cur, jnp.int32), (1,))
-            return self._calls[key](scal, icur, y2, *[k for _, k in ks])
+            # x32 trace: see make_fused_stage._call
+            with jax.enable_x64(False):
+                return self._calls[key](scal, icur, y2,
+                                        *[k for _, k in ks])
 
         self._call = call
 

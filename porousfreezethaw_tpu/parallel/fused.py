@@ -1,0 +1,140 @@
+"""Fused Pallas stage kernels on a device mesh.
+
+Composes the single-shard fused stage kernel (``ops/pallas/stencil.py``,
+built with ``shard_ghosts=True``) with explicit z-halo exchange under
+``shard_map`` — the TPU-native form of the reference's distributed hot
+path, where every Merson stage evaluation exchanges one ghost plane with
+each z-neighbor inside the RHS (``equation.c:290-326``,
+``RK_MPI_SAsolver_hybrid2.c:215``).
+
+Design:
+
+* The state lives in the padded kernel layout ``(3, Z, R, 128)``
+  (``pad_state``), sharded over the mesh's z axis.
+* Per stage, each shard ppermutes the *raw* edge planes of ``w`` and each
+  ``K_i`` one hop up and one hop down the ICI ring — the Isend/Irecv pair
+  of ``sync_solution``.  The kernel combines the received planes itself,
+  with the same arithmetic it applies to its own slabs, so sharded and
+  single-device results agree **bitwise** (pre-combining the planes
+  outside the kernel was measured to differ by FMA-contraction ulps).
+* The global chain ends substitute the physical BCs: mirror (the shard's
+  own edge planes) at z=0; at z=L3 mirror with the Dirichlet value on
+  ``w``'s temperature plane and 0 on the ``K`` temperature planes, so the
+  combined ghost is exactly the Dirichlet value (``equation.c:113-185``).
+* The stage-5 tail returns per-shard eps blocks; the Merson controller's
+  ``jnp.max`` over the (sharded) block array becomes the one global
+  all-reduce per attempt — the reference's ``MPI_Allreduce(MAX)``.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from jax.experimental.shard_map import shard_map
+
+from ..core.grid import GridGeometry
+from ..models.freezing import physics
+from ..models.freezing.parameters import FreezingParams
+from ..ops.pallas.stencil import make_fused_stage, padded_shape
+
+
+def padded_sharding(mesh: Mesh, axis_name: str = "z") -> NamedSharding:
+    """Sharding of the padded kernel layout (3, Z, R, 128): Z over z."""
+    return NamedSharding(mesh, P(None, axis_name, None, None))
+
+
+def make_sharded_fused_stage(geom: GridGeometry, params: FreezingParams,
+                             calc_mode: int, mesh: Mesh,
+                             axis_name: str = "z", *, bz: int = 0,
+                             layout: str = "flat",
+                             interpret: bool = False):
+    """Build ``stage(t, h, w, ks) -> K`` (+ ``.stage5``) over the mesh.
+
+    Drop-in replacement for ``make_fused_stage``'s result: identical
+    signature and semantics, but ``w``/``K`` are global arrays sharded
+    over ``mesh``'s ``axis_name`` and every stage performs the per-stage
+    halo exchange over ICI.  Usable directly as ``merson_solve``'s
+    ``stage_fn``.
+    """
+    nz = mesh.shape[axis_name]
+    Z = geom.n3
+    if Z % nz:
+        raise ValueError(f"n3={Z} not divisible by mesh {axis_name}={nz}")
+    zl = Z // nz
+    if zl < 2:
+        raise ValueError(f"shards need >= 2 z planes, have {zl}")
+    inner = make_fused_stage(geom, params, calc_mode, bz=bz, layout=layout,
+                             interpret=interpret, n3_local=zl,
+                             shard_ghosts=True)
+    kshape = padded_shape(geom, layout)
+    prm = params
+    spec = P(None, axis_name, None, None)
+    scal = P()
+    up = [(i, (i + 1) % nz) for i in range(nz)]     # send toward +z
+    down = [(i, (i - 1) % nz) for i in range(nz)]   # send toward -z
+
+    calls = {}
+
+    def build(coefs: tuple, stage5: bool):
+        nk = len(coefs)
+        eps_spec = P(axis_name, None, None)
+        out_specs = (spec, spec, eps_spec) if stage5 else spec
+        in_specs = (scal, scal, spec) + (spec,) * nk
+
+        @partial(shard_map, mesh=mesh, in_specs=in_specs,
+                 out_specs=out_specs, check_rep=False)
+        def impl(t, h, w_l, *k_l):
+            idx = lax.axis_index(axis_name)
+            tf = jnp.asarray(t, jnp.float32)
+            # raw edge planes of every input: (nk+1, 3) + plane
+            lo = jnp.stack([w_l[:, 0]] + [k[:, 0] for k in k_l])
+            hi = jnp.stack([w_l[:, -1]] + [k[:, -1] for k in k_l])
+            from_below = lax.ppermute(hi, axis_name, up)
+            from_above = lax.ppermute(lo, axis_name, down)
+
+            # physical BCs at the chain ends (equation.c:113-185):
+            # mirror (own edge planes) at z=0; at z=L3 mirror with
+            # Dirichlet on w's u plane and 0 on the K u planes, making
+            # the kernel's combined ghost exactly the Dirichlet value
+            inp = lax.broadcasted_iota(jnp.int32, hi.shape, 0)
+            var = lax.broadcasted_iota(jnp.int32, hi.shape, 1)
+            d_val = physics.dirichlet_top(tf, prm).astype(hi.dtype)
+            hi_bc = jnp.where(var == 0,
+                              jnp.where(inp == 0, d_val, 0.0), hi)
+            ghost_lo = jnp.where(idx == 0, lo, from_below)
+            ghost_hi = jnp.where(idx == nz - 1, hi_bc, from_above)
+
+            ks_local = list(zip(coefs, k_l))
+            if stage5:
+                return inner.stage5(t, h, w_l, ks_local, ghost_lo, ghost_hi)
+            return inner(t, h, w_l, ks_local, ghost_lo, ghost_hi)
+
+        return impl
+
+    def _call(t, h, w, ks, stage5):
+        if w.shape != kshape:
+            raise ValueError(
+                f"sharded fused stage expects the padded layout {kshape}, "
+                f"got {w.shape}")
+        coefs = tuple(c for c, _ in ks)
+        key = (coefs, stage5)
+        if key not in calls:
+            calls[key] = build(coefs, stage5)
+        return calls[key](jnp.asarray(t), jnp.asarray(h),
+                          w, *[k for _, k in ks])
+
+    def stage(t, h, w, ks):
+        return _call(t, h, w, ks, False)
+
+    def stage5(t, h, w, ks):
+        if len(ks) != 3:
+            raise ValueError("stage5 takes the 3-term K1/K3/K4 combination")
+        return _call(t, h, w, ks, True)
+
+    stage.stage5 = stage5
+    return stage

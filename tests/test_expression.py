@@ -106,7 +106,7 @@ class TestBasics:
         assert ev("(1+2") == 3.0
         assert ev("2*(3+(4") == 14.0
         assert ev("0.5*(1.0 + tanh(0.5/xi_gl*(z-0.055))",
-                  xi_gl=0.06 / 300, z=0.055) == 1.0
+                  xi_gl=0.06 / 300, z=0.055) == 0.5
 
 
 class TestVectorized:
