@@ -28,7 +28,8 @@ import numpy as np
 from ..io.csv_snaps import snapshot_path, write_dem_snapshot
 from ..io.rklog import format_time
 from ..models.dem import (
-    DEMConfig, icond_2spheres, icond_dense, icond_sparse, make_dem_rhs)
+    DEMConfig, icond_2spheres, icond_dense, icond_sparse, make_dem_rhs,
+    write_final_positions)
 from ..solvers.merson import MersonParams, merson_init, merson_solve
 
 ICONDS = {"dense": icond_dense, "sparse": icond_sparse,
@@ -50,6 +51,10 @@ def main(argv: Optional[List[str]] = None) -> int:
     ap.add_argument("--ht-min", type=float, default=1e-9)
     ap.add_argument("--seed", type=int, default=None)
     ap.add_argument("--output", default="OUTPUT")
+    ap.add_argument("--final-positions", default=None, metavar="PATH",
+                    help="write resting sphere centers after the run "
+                         "(extract_final_positions.m contract; the "
+                         "freezing app's ball_positions_file input)")
     ap.add_argument("--precision", choices=["f32", "f64"], default="f64")
     ap.add_argument("--platform", default=None,
                     help="force a jax platform (e.g. 'cpu'; this image "
@@ -106,6 +111,11 @@ def main(argv: Optional[List[str]] = None) -> int:
             snapshot_path(args.output, snap + 1),
             {k: np.asarray(v) for k, v in state.y.items()},
             color, angular=cfg.angular)
+
+    if args.final_positions:
+        write_final_positions(args.final_positions,
+                              {k: np.asarray(v) for k, v in state.y.items()})
+        print(f"Final positions written to: {args.final_positions}")
 
     print(f"\nSimulation completed in: {format_time(time.time() - start)}.")
     return 0

@@ -347,34 +347,58 @@ def make_fused_stage(geom: GridGeometry, params: FreezingParams,
     neighbors = _make_neighbors(geom, layout)
     n_ghost = 2 if shard_ghosts else 0
 
-    def build_call(nk: int, bz_: int, stage5: bool = False):
+    def build_call(nk: int, bz_: int, stage5: bool = False,
+                   part: str = "all"):
+        """``part`` (shard_ghosts only): 'all' is the whole shard;
+        'interior'/'edge' split it for halo-transfer/compute overlap —
+        'interior' covers z-blocks 1..nb-2 (no ghost dependency, so XLA
+        can run it concurrently with the ppermute producing the ghosts),
+        'edge' computes blocks 0 and nb-1 into buffers donated from the
+        interior pass (input_output_aliases, no copy).  The reference
+        documents why the exchange must live inside the RHS and its
+        timing consequence (include/RK_MPI_SAsolver.h:112-148,161-169);
+        the split is the TPU-native overlap it could not do."""
         nb = Z // bz_
         scratch_shape = (3, bz_ + 2) + kshape[2:]
         block_shape = (3, bz_) + kshape[2:]
         n_out = 3 if stage5 else 1
+        use_ghosts = n_ghost if part in ("all", "edge") and shard_ghosts \
+            else 0
+        n_prev = n_out if part == "edge" else 0   # aliased carry inputs
+        n_prog = {"all": nb, "interior": nb - 2, "edge": 2}[part]
+        if part == "interior" and n_prog < 1:
+            raise ValueError("interior part needs nb >= 3")
 
         def kernel(scal_ref, *refs):
             ins = refs[:nk + 1]
-            ghosts = refs[nk + 1:nk + 1 + n_ghost]
-            outs = refs[nk + 1 + n_ghost:nk + 1 + n_ghost + n_out]
+            ghosts = refs[nk + 1:nk + 1 + use_ghosts]
+            # aliased prev inputs (edge): same buffers as outs — unused
+            outs = refs[nk + 1 + use_ghosts + n_prev:
+                        nk + 1 + use_ghosts + n_prev + n_out]
             out_ref = outs[0]
-            scratch = refs[nk + 1 + n_ghost + n_out:
-                           nk + 2 + n_ghost + n_out + nk]
+            scratch = refs[nk + 1 + use_ghosts + n_prev + n_out:-1]
             sems = refs[-1]
             # int32 index arithmetic: under x64 the DMA slice offsets
             # would otherwise become i64, which tpu.memref_slice rejects
             i = jnp.asarray(pl.program_id(0), jnp.int32)
+            if part == "interior":
+                bi = i + 1
+            elif part == "edge":
+                bi = i * (nb - 1)
+            else:
+                bi = i
 
             copies = []
-            for a, (hbm, vm) in enumerate(zip(ins, scratch)):
+            for a in range(nk + 1):
+                hbm, vm = ins[a], scratch[a]
                 copies.append(pltpu.make_async_copy(
-                    hbm.at[:, pl.ds(i * bz_, bz_)],
+                    hbm.at[:, pl.ds(bi * bz_, bz_)],
                     vm.at[:, pl.ds(1, bz_)], sems.at[3 * a]))
-                prev = jnp.maximum(i * bz_ - 1, 0)
+                prev = jnp.maximum(bi * bz_ - 1, 0)
                 copies.append(pltpu.make_async_copy(
                     hbm.at[:, pl.ds(prev, 1)],
                     vm.at[:, pl.ds(0, 1)], sems.at[3 * a + 1]))
-                nxt = jnp.minimum(i * bz_ + bz_, Z - 1)
+                nxt = jnp.minimum(bi * bz_ + bz_, Z - 1)
                 copies.append(pltpu.make_async_copy(
                     hbm.at[:, pl.ds(nxt, 1)],
                     vm.at[:, pl.ds(bz_ + 1, 1)], sems.at[3 * a + 2]))
@@ -385,12 +409,12 @@ def make_fused_stage(geom: GridGeometry, params: FreezingParams,
 
             t = scal_ref[0, 0]
             h = scal_ref[0, 1]
-            last = i == nb - 1
-            if shard_ghosts:
+            last = bi == nb - 1
+            if use_ghosts:
                 # shard-boundary planes come from the caller (neighbor
                 # ppermute or physical BC): overwrite the clamped edge
                 # plane of each input slab before combining
-                @pl.when(i == 0)
+                @pl.when(bi == 0)
                 def _():
                     for a in range(nk + 1):
                         scratch[a][:, 0] = ghosts[0][a]
@@ -420,8 +444,7 @@ def make_fused_stage(geom: GridGeometry, params: FreezingParams,
             zero = jnp.zeros_like(du)
             k_out = jnp.stack([jnp.where(valid, du, zero),
                                jnp.where(valid, dp, zero),
-                               zero]).astype(out_ref.dtype)
-            out_ref[:] = k_out
+                               zero]).astype(jnp.float32)
 
             if stage5:
                 # Merson tail, all in VMEM (the K's of this stage's
@@ -435,34 +458,90 @@ def make_fused_stage(geom: GridGeometry, params: FreezingParams,
                 k4c = scratch[3][:, C]
                 err = (0.2 * k1c - 0.9 * k3c + 0.8 * k4c - 0.1 * k_out)
                 eps = jnp.max(jnp.abs(err))
-                outs[2][:] = jnp.broadcast_to(eps, outs[2].shape)
-                h3 = h / 3.0
-                outs[1][:] = scratch[0][:, C] + h3 * (
+                y_out = scratch[0][:, C] + (h / 3.0) * (
                     0.5 * (k1c + k_out) + 2.0 * k4c)
 
+            if part == "edge":
+                # aliased ANY outputs: write this program's block by DMA
+                # (the FusedAttempt-tail pattern), leaving the interior
+                # pass's blocks in place
+                nbuf = nk + 1
+                kbuf = scratch[nbuf]
+                kbuf[:] = k_out
+                wr = [pltpu.make_async_copy(
+                    kbuf, outs[0].at[:, pl.ds(bi * bz_, bz_)],
+                    sems.at[3 * (nk + 1)])]
+                if stage5:
+                    ybuf = scratch[nbuf + 1]
+                    ybuf[:] = y_out
+                    wr.append(pltpu.make_async_copy(
+                        ybuf, outs[1].at[:, pl.ds(bi * bz_, bz_)],
+                        sems.at[3 * (nk + 1) + 1]))
+                    ebuf = scratch[nbuf + 2]
+                    ebuf[:] = jnp.broadcast_to(eps, ebuf.shape)
+                    wr.append(pltpu.make_async_copy(
+                        ebuf, outs[2].at[bi], sems.at[3 * (nk + 1) + 2]))
+                for c in wr:
+                    c.start()
+                for c in wr:
+                    c.wait()
+            else:
+                out_ref[:] = k_out
+                if stage5:
+                    outs[2][:] = jnp.broadcast_to(eps, outs[2].shape)
+                    outs[1][:] = y_out
+
         ndim_tail = len(kshape) - 2
-        out_specs = [pl.BlockSpec(
-            block_shape, (lambda i: (0, i) + (0,) * ndim_tail),
-            memory_space=pltpu.VMEM)]
-        out_shapes = [jax.ShapeDtypeStruct(kshape, jnp.float32)]
-        if stage5:
-            out_specs.append(out_specs[0])
-            out_shapes.append(out_shapes[0])
-            out_specs.append(pl.BlockSpec((1, 8, _LANES), lambda i: (i, 0, 0),
-                                          memory_space=pltpu.VMEM))
-            out_shapes.append(jax.ShapeDtypeStruct((nb, 8, _LANES),
-                                                   jnp.float32))
+        if part == "edge":
+            out_specs = [pl.BlockSpec(memory_space=pltpu.ANY)] * n_out
+            out_shapes = [jax.ShapeDtypeStruct(kshape, jnp.float32)] * \
+                min(n_out, 2)
+            if stage5:
+                out_shapes.append(jax.ShapeDtypeStruct((nb, 8, _LANES),
+                                                       jnp.float32))
+            # aliased inputs follow scal + ins + ghosts
+            base = 1 + (nk + 1) + use_ghosts
+            io_aliases = {base + q: q for q in range(n_out)}
+        else:
+            bmap = ((lambda i: (0, i + 1) + (0,) * ndim_tail)
+                    if part == "interior"
+                    else (lambda i: (0, i) + (0,) * ndim_tail))
+            out_specs = [pl.BlockSpec(block_shape, bmap,
+                                      memory_space=pltpu.VMEM)]
+            out_shapes = [jax.ShapeDtypeStruct(kshape, jnp.float32)]
+            if stage5:
+                out_specs.append(out_specs[0])
+                out_shapes.append(out_shapes[0])
+                emap = ((lambda i: (i + 1, 0, 0)) if part == "interior"
+                        else (lambda i: (i, 0, 0)))
+                out_specs.append(pl.BlockSpec((1, 8, _LANES), emap,
+                                              memory_space=pltpu.VMEM))
+                out_shapes.append(jax.ShapeDtypeStruct((nb, 8, _LANES),
+                                                       jnp.float32))
+            io_aliases = {}
+        extra_scratch = []
+        n_sems = 3 * (nk + 1)
+        if part == "edge":
+            extra_scratch.append(pltpu.VMEM(block_shape, jnp.float32))
+            n_sems += 1
+            if stage5:
+                extra_scratch.append(pltpu.VMEM(block_shape, jnp.float32))
+                extra_scratch.append(pltpu.VMEM((8, _LANES), jnp.float32))
+                n_sems += 2
         return pl.pallas_call(
             kernel,
-            grid=(nb,),
+            grid=(n_prog,),
             in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM)]
             + [pl.BlockSpec(memory_space=pltpu.ANY)] * (nk + 1)
-            + [pl.BlockSpec(memory_space=pltpu.VMEM)] * n_ghost,
-            out_specs=out_specs if stage5 else out_specs[0],
-            out_shape=out_shapes if stage5 else out_shapes[0],
+            + [pl.BlockSpec(memory_space=pltpu.VMEM)] * use_ghosts
+            + [pl.BlockSpec(memory_space=pltpu.ANY)] * n_prev,
+            out_specs=out_specs if n_out > 1 else out_specs[0],
+            out_shape=out_shapes if n_out > 1 else out_shapes[0],
             scratch_shapes=[pltpu.VMEM(scratch_shape, jnp.float32)
                             for _ in range(nk + 1)]
-            + [pltpu.SemaphoreType.DMA((3 * (nk + 1),))],
+            + extra_scratch
+            + [pltpu.SemaphoreType.DMA((n_sems,))],
+            input_output_aliases=io_aliases,
             compiler_params=(pltpu.CompilerParams(
                 vmem_limit_bytes=vmem_limit_mb * 2**20)
                 if vmem_limit_mb and not interpret else None),
@@ -492,20 +571,22 @@ def make_fused_stage(geom: GridGeometry, params: FreezingParams,
                                       else "stage"))
         return budget_ref[0]
 
-    def _call(t_stage, h, w, ks, ghosts=(), stage5=False):
+    def _call(t_stage, h, w, ks, ghosts=(), stage5=False, part="all",
+              prev=()):
         nk = len(ks)
         if w.shape != kshape:
             raise ValueError(
                 f"fused stage expects the padded {layout!r} layout {kshape} "
                 f"(see pad_state), got {w.shape}")
-        if len(ghosts) != n_ghost:
+        want_ghost = n_ghost if part != "interior" else 0
+        if len(ghosts) != want_ghost:
             raise ValueError(
-                f"expected {n_ghost} ghost planes, got {len(ghosts)}")
+                f"expected {want_ghost} ghost planes, got {len(ghosts)}")
         bz_ = bz or _pick_bz(geom_local, nk + 1, layout,
                              vmem_budget=_budget())
-        key = (nk, bz_, stage5)
+        key = (nk, bz_, stage5, part)
         if key not in calls:
-            calls[key] = build_call(nk, bz_, stage5)
+            calls[key] = build_call(nk, bz_, stage5, part)
         scal = jnp.concatenate([
             jnp.reshape(jnp.asarray(t_stage, jnp.float32), (1,)),
             jnp.reshape(jnp.asarray(h, jnp.float32), (1,)),
@@ -515,7 +596,14 @@ def make_fused_stage(geom: GridGeometry, params: FreezingParams,
         # DMA slice indices as i64, which tpu.memref_slice rejects
         # (observed on jax 0.9.0); all kernel operands are f32 anyway
         with jax.enable_x64(False):
-            return calls[key](scal, w, *[k for _, k in ks], *ghosts)
+            return calls[key](scal, w, *[k for _, k in ks], *ghosts, *prev)
+
+    def min_interior_blocks(nk: int = 3) -> int:
+        """Number of z-blocks at the picked block size (callers split
+        interior/edge only when >= 3)."""
+        bz_ = bz or _pick_bz(geom_local, nk + 1, layout,
+                             vmem_budget=_budget())
+        return Z // bz_
 
     if shard_ghosts:
         def stage(t_stage, h, w, ks, ghost_lo, ghost_hi):
@@ -527,6 +615,23 @@ def make_fused_stage(geom: GridGeometry, params: FreezingParams,
                     "stage5 takes the 3-term K1/K3/K4 combination")
             return _call(t_stage, h, w, ks, (ghost_lo, ghost_hi),
                          stage5=True)
+
+        def stage_interior(t_stage, h, w, ks, stage5=False):
+            """Interior z-blocks only — independent of the ghosts, so the
+            caller's ppermute overlaps with this kernel."""
+            return _call(t_stage, h, w, ks, (), stage5=stage5,
+                         part="interior")
+
+        def stage_edge(t_stage, h, w, ks, ghost_lo, ghost_hi, prev,
+                       stage5=False):
+            """First/last z-blocks, written into the interior pass's
+            donated output buffers (``prev``: K [, y_spec, eps])."""
+            return _call(t_stage, h, w, ks, (ghost_lo, ghost_hi),
+                         stage5=stage5, part="edge", prev=tuple(prev))
+
+        stage.interior = stage_interior
+        stage.edge = stage_edge
+        stage.n_blocks = min_interior_blocks
     else:
         def stage(t_stage, h, w, ks: Sequence[Tuple[float, jax.Array]]):
             return _call(t_stage, h, w, ks)

@@ -52,7 +52,8 @@ def make_sharded_fused_stage(geom: GridGeometry, params: FreezingParams,
                              calc_mode: int, mesh: Mesh,
                              axis_name: str = "z", *, bz: int = 0,
                              layout: str = "flat",
-                             interpret: bool = False):
+                             interpret: bool = False,
+                             overlap: bool = True):
     """Build ``stage(t, h, w, ks) -> K`` (+ ``.stage5``) over the mesh.
 
     Drop-in replacement for ``make_fused_stage``'s result: identical
@@ -60,6 +61,15 @@ def make_sharded_fused_stage(geom: GridGeometry, params: FreezingParams,
     over ``mesh``'s ``axis_name`` and every stage performs the per-stage
     halo exchange over ICI.  Usable directly as ``merson_solve``'s
     ``stage_fn``.
+
+    ``overlap`` splits each shard's kernel into an interior pass (no
+    ghost dependency — XLA schedules it concurrently with the ppermute)
+    and an edge pass writing the first/last z-blocks into the interior
+    pass's donated buffers: the halo transfer hides behind interior
+    compute, the reference's known scaling bottleneck
+    (include/RK_MPI_SAsolver.h:161-169, SURVEY §5.7).  Disabled in
+    interpret mode (no input/output aliasing emulation) — results are
+    identical either way, overlap only changes scheduling.
     """
     nz = mesh.shape[axis_name]
     Z = geom.n3
@@ -110,6 +120,16 @@ def make_sharded_fused_stage(geom: GridGeometry, params: FreezingParams,
             ghost_hi = jnp.where(idx == nz - 1, hi_bc, from_above)
 
             ks_local = list(zip(coefs, k_l))
+            split = (overlap and not interpret
+                     and inner.n_blocks(nk) >= 3)
+            if split:
+                if stage5:
+                    prev = inner.interior(t, h, w_l, ks_local, stage5=True)
+                    return inner.edge(t, h, w_l, ks_local, ghost_lo,
+                                      ghost_hi, prev, stage5=True)
+                k_int = inner.interior(t, h, w_l, ks_local)
+                return inner.edge(t, h, w_l, ks_local, ghost_lo, ghost_hi,
+                                  (k_int,))
             if stage5:
                 return inner.stage5(t, h, w_l, ks_local, ghost_lo, ghost_hi)
             return inner(t, h, w_l, ks_local, ghost_lo, ghost_hi)
