@@ -51,6 +51,10 @@ def main(argv: Optional[List[str]] = None) -> int:
     ap.add_argument("--ht-min", type=float, default=1e-9)
     ap.add_argument("--seed", type=int, default=None)
     ap.add_argument("--output", default="OUTPUT")
+    ap.add_argument("--neighbor", choices=["dense", "cell_list"],
+                    default="dense",
+                    help="pair search: exact masked n x n (reference "
+                         "semantics) or O(n) spatial cell list for large n")
     ap.add_argument("--final-positions", default=None, metavar="PATH",
                     help="write resting sphere centers after the run "
                          "(extract_final_positions.m contract; the "
@@ -87,7 +91,7 @@ def main(argv: Optional[List[str]] = None) -> int:
 
     print("Initializing...")
     os.makedirs(args.output, exist_ok=True)
-    rhs = make_dem_rhs(cfg)
+    rhs = make_dem_rhs(cfg, neighbor=args.neighbor)
     params = MersonParams(delta=cfg.delta, h_min=cfg.ht_min)
     state = merson_init({k: jnp.asarray(v) for k, v in y0.items()}, 0.0, cfg.ht)
     solve = jax.jit(lambda st, ft: merson_solve(rhs, st, ft, params))

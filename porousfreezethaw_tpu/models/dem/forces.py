@@ -1,11 +1,18 @@
 """Vectorized DEM soft-contact force kernels.
 
 The reference computes per-particle accelerations with an O(n^2) pair scan
-under OpenMP (``spheres_friction_angular.c:242-357``).  The TPU-native form
-is a masked dense (n x n) pairwise computation — exact for the reference's
-n = 200 workloads and a natural fit for the VPU; a cell-list/neighbor-hash
-variant for large n lives in ``ops`` (planned; the masked form is the
-correctness oracle for it).
+under OpenMP (``spheres_friction_angular.c:242-357``).  Two TPU-native
+neighbor strategies share one pair-force core:
+
+* ``dense`` — masked (n x n) pairwise computation: exact, no data
+  structure, a natural VPU fit; the right choice for the reference's
+  n = 200 workloads and the correctness oracle for the cell list.
+* ``cell_list`` — spatial binning at the interaction range: particles are
+  bucketed into fixed-capacity cells (sort + scatter, all static shapes),
+  and each particle evaluates only the candidates gathered from its 27
+  surrounding cells — O(n * 27 * capacity) instead of O(n^2), the scalable
+  analog of the cutoff scan in ``spheres_basic.c:222-286`` (the reference
+  has no cell list; SURVEY §2.6 tasks the TPU build with one).
 
 Force model (constants in :class:`..config.DEMConfig`):
 * collision factor  CF = cfm * exp(-cfe * surf_dist)  (exp model,
@@ -24,20 +31,99 @@ State pytree: {'pos': (n,3), 'vel': (n,3)[, 'angvel': (n,3)]}.
 
 from __future__ import annotations
 
-from typing import Dict
+import math
+from typing import Dict, Optional, Sequence, Tuple
 
 import jax
 import jax.numpy as jnp
 
 from .config import DEMConfig
 
+# 27 neighbor-cell offsets (own cell included)
+_OFFSETS = [(dx, dy, dz)
+            for dz in (-1, 0, 1) for dy in (-1, 0, 1) for dx in (-1, 0, 1)]
+
 
 def _cross(a, b):
     return jnp.cross(a, b)
 
 
-def make_dem_rhs(cfg: DEMConfig, dtype=jnp.float64):
-    """Build ``rhs(t, y) -> dy/dt`` for the configured variant."""
+def default_cell_bounds(cfg: DEMConfig) -> Tuple[Tuple[float, float, float],
+                                                 Tuple[float, float, float]]:
+    """Bounding box for the cell grid: the vessel plus headroom for the
+    elevated initial block and slack for wall penetration overshoot."""
+    n_layers = math.ceil(cfg.n ** (1.0 / 3.0))
+    z_top = cfg.h0 + (n_layers + 2) * 2.5 * cfg.r
+    pad = 4.0 * cfg.r
+    return (-pad, -pad, -pad), (1.0 + pad, 1.0 + pad, z_top + pad)
+
+
+def make_cell_list(cfg: DEMConfig, capacity: int = 16,
+                   bounds=None, dtype=jnp.float64):
+    """Build ``neighbor_ids(pos) -> (ids, mask)`` where ``ids`` is
+    (n, 27*capacity) candidate indices (clipped to valid range) and
+    ``mask`` marks real candidates.  Cell edge = the interaction range
+    2r + max_surf_dist, so all interacting pairs lie within the 27
+    surrounding cells.  A cell holding more than ``capacity`` particles
+    silently drops the excess — with edge 3r and radius r at most ~8
+    sphere centers fit a cell, so the default 16 has 2x headroom;
+    ``cell_occupancy`` measures the true maximum for a configuration."""
+    lo, hi = bounds if bounds is not None else default_cell_bounds(cfg)
+    edge = 2.0 * cfg.r + cfg.max_surf_dist
+    dims = tuple(int(math.ceil((hi[d] - lo[d]) / edge)) for d in range(3))
+    nx, ny, nz = dims
+    ncells = nx * ny * nz
+    lo_arr = jnp.asarray(lo, dtype)
+    n = cfg.n
+
+    def cell_coords(pos):
+        ci = jnp.floor((pos - lo_arr) / edge).astype(jnp.int32)
+        return jnp.clip(ci, 0, jnp.asarray(dims, jnp.int32) - 1)
+
+    def neighbor_ids(pos):
+        ci = cell_coords(pos)
+        cid = (ci[:, 2] * ny + ci[:, 1]) * nx + ci[:, 0]
+        order = jnp.argsort(cid).astype(jnp.int32)
+        scid = cid[order]
+        first = jnp.searchsorted(scid, scid, side="left").astype(jnp.int32)
+        rank = jnp.arange(n, dtype=jnp.int32) - first
+        table = jnp.full((ncells * capacity,), -1, jnp.int32)
+        slot = scid * capacity + jnp.minimum(rank, capacity - 1)
+        table = table.at[slot].set(order)
+
+        offs = jnp.asarray(_OFFSETS, jnp.int32)            # (27, 3)
+        cand_ci = ci[:, None, :] + offs[None, :, :]        # (n, 27, 3)
+        in_range = jnp.all(
+            (cand_ci >= 0) & (cand_ci < jnp.asarray(dims, jnp.int32)),
+            axis=-1)                                       # (n, 27)
+        cand_cid = ((cand_ci[..., 2] * ny + cand_ci[..., 1]) * nx
+                    + cand_ci[..., 0])
+        cand_cid = jnp.where(in_range, cand_cid, 0)
+        slots = (cand_cid[..., None] * capacity
+                 + jnp.arange(capacity, dtype=jnp.int32))  # (n, 27, C)
+        ids = table[slots.reshape(n, -1)]                  # (n, 27*C)
+        mask = ((ids >= 0)
+                & jnp.repeat(in_range, capacity, axis=1)
+                & (ids != jnp.arange(n, dtype=jnp.int32)[:, None]))
+        return jnp.maximum(ids, 0), mask
+
+    def cell_occupancy(pos):
+        """Maximum particles per cell — must stay <= capacity."""
+        ci = cell_coords(jnp.asarray(pos))
+        cid = (ci[:, 2] * ny + ci[:, 1]) * nx + ci[:, 0]
+        counts = jnp.zeros((ncells,), jnp.int32).at[cid].add(1)
+        return int(jnp.max(counts))
+
+    neighbor_ids.dims = dims
+    neighbor_ids.capacity = capacity
+    neighbor_ids.cell_occupancy = cell_occupancy
+    return neighbor_ids
+
+
+def make_dem_rhs(cfg: DEMConfig, dtype=jnp.float64, neighbor: str = "dense",
+                 cell_capacity: int = 16, cell_bounds=None):
+    """Build ``rhs(t, y) -> dy/dt`` for the configured variant.
+    ``neighbor``: 'dense' (exact masked n x n) or 'cell_list'."""
     P_w, n_w = cfg.wall_arrays()
     kin_energy_fraction = cfg.COR * cfg.COR
     two_r = 2.0 * cfg.r
@@ -65,24 +151,25 @@ def make_dem_rhs(cfg: DEMConfig, dtype=jnp.float64):
     walls_P = jnp.asarray(P_w, dtype)
     walls_n = jnp.asarray(n_w, dtype)
 
-    def rhs(t, y: Dict[str, jax.Array]) -> Dict[str, jax.Array]:
-        pos, vel = y["pos"], y["vel"]
-        angvel = y.get("angvel")
-        n = pos.shape[0]
+    if neighbor == "cell_list":
+        nbr_fn = make_cell_list(cfg, capacity=cell_capacity,
+                                bounds=cell_bounds, dtype=dtype)
+    elif neighbor != "dense":
+        raise ValueError(f"unknown neighbor strategy {neighbor!r}")
 
-        # ---- particle pairs (masked dense) ----
-        dp = pos[:, None, :] - pos[None, :, :]          # i w.r.t. j
+    def pair_accels(pos, vel, angvel, npos, nvel, nangvel, mask):
+        """Summed contact acceleration (and angular acceleration) on each
+        particle from its candidate neighbors (n, m, 3)."""
+        dp = pos[:, None, :] - npos                     # i w.r.t. j
         dist = jnp.linalg.norm(dp, axis=-1) + cfg.zero
         mp = dp / dist[..., None]
         surf = dist - two_r
-        eye = jnp.eye(n, dtype=bool)
-        mask = (~eye) & (surf <= cfg.max_surf_dist)
+        mask = mask & (surf <= cfg.max_surf_dist)
         CF = jnp.where(mask, collision_factor(surf), 0.0)
 
-        mv = vel[:, None, :] - vel[None, :, :]
+        mv = vel[:, None, :] - nvel
         heading = jnp.sum(mv * mp, axis=-1)
-        acc = gravity + jnp.sum(
-            (CF * rebound(-heading))[..., None] * mp, axis=1)
+        acc = jnp.sum((CF * rebound(-heading))[..., None] * mp, axis=1)
 
         angacc = None
         if cfg.has_friction:
@@ -90,7 +177,7 @@ def make_dem_rhs(cfg: DEMConfig, dtype=jnp.float64):
             if angvel is not None:
                 # mp points opposite to r (center -> contact point):
                 # v_surf contribution is -r * (omega_i + omega_j) x mp
-                sv = _cross(angvel[:, None, :] + angvel[None, :, :], mp)
+                sv = _cross(angvel[:, None, :] + nangvel, mp)
                 mv_t = mv_t - cfg.r * sv
             mvt_mag = jnp.linalg.norm(mv_t, axis=-1) + cfg.zero
             tdir = mv_t / mvt_mag[..., None]
@@ -100,6 +187,27 @@ def make_dem_rhs(cfg: DEMConfig, dtype=jnp.float64):
                 torque = _cross(mp, tdir)
                 angacc = jnp.sum(
                     (cfg.r * FF / cfg.inertia)[..., None] * torque, axis=1)
+        return acc, angacc
+
+    def rhs(t, y: Dict[str, jax.Array]) -> Dict[str, jax.Array]:
+        pos, vel = y["pos"], y["vel"]
+        angvel = y.get("angvel")
+        n = pos.shape[0]
+
+        # ---- particle pairs ----
+        if neighbor == "dense":
+            npos = jnp.broadcast_to(pos[None, :, :], (n, n, 3))
+            nvel = jnp.broadcast_to(vel[None, :, :], (n, n, 3))
+            nang = (jnp.broadcast_to(angvel[None, :, :], (n, n, 3))
+                    if angvel is not None else None)
+            mask = ~jnp.eye(n, dtype=bool)
+        else:
+            ids, mask = nbr_fn(pos)
+            npos = pos[ids]
+            nvel = vel[ids]
+            nang = angvel[ids] if angvel is not None else None
+        pacc, angacc = pair_accels(pos, vel, angvel, npos, nvel, nang, mask)
+        acc = gravity + pacc
 
         # ---- walls ----
         rel = pos[:, None, :] - walls_P[None, :, :]     # (n, walls, 3)
@@ -131,7 +239,8 @@ def make_dem_rhs(cfg: DEMConfig, dtype=jnp.float64):
 
         out = {"pos": vel, "vel": acc}
         if angvel is not None:
-            out["angvel"] = angacc if angacc is not None else jnp.zeros_like(angvel)
+            out["angvel"] = (angacc if angacc is not None
+                             else jnp.zeros_like(angvel))
         return out
 
     return rhs

@@ -1,0 +1,92 @@
+"""Cell-list neighbor structure vs the masked-dense oracle.
+
+The reference DEM is an O(n^2) cutoff scan (spheres_basic.c:222-286);
+SURVEY §2.6 tasks the TPU build with a scalable neighbor structure whose
+results match the dense form exactly (same pairs found — only the
+summation order over neighbors differs).
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from porousfreezethaw_tpu.models.dem import (
+    DEMConfig, icond_dense, make_cell_list, make_dem_rhs)
+from porousfreezethaw_tpu.solvers import MersonParams, merson_init, merson_solve
+
+
+def settled_like_state(cfg, seed=0):
+    """A dense random packing in the vessel (worst case for the cells)."""
+    rng = np.random.RandomState(seed)
+    n_side = int(np.ceil(cfg.n ** (1 / 3)))
+    idx = np.arange(cfg.n)
+    g = np.stack([idx % n_side, (idx // n_side) % n_side,
+                  idx // n_side**2], axis=1)
+    pos = 0.1 + g * 2.05 * cfg.r + 0.3 * cfg.r * rng.random_sample((cfg.n, 3))
+    vel = 0.5 * rng.standard_normal((cfg.n, 3))
+    y = {"pos": jnp.asarray(pos), "vel": jnp.asarray(vel)}
+    if cfg.angular:
+        y["angvel"] = jnp.asarray(rng.standard_normal((cfg.n, 3)))
+    return y
+
+
+@pytest.mark.parametrize("variant", ["basic", "friction_angular"])
+def test_cell_list_matches_dense(variant):
+    cfg = DEMConfig(variant=variant, n=100, r=0.1)
+    y = settled_like_state(cfg)
+    dense = make_dem_rhs(cfg, neighbor="dense")
+    cells = make_dem_rhs(cfg, neighbor="cell_list")
+    a = dense(0.0, y)
+    b = cells(0.0, y)
+    for k in a:
+        np.testing.assert_allclose(np.asarray(a[k]), np.asarray(b[k]),
+                                   rtol=1e-12, atol=1e-12)
+
+
+def test_cell_list_finds_all_pairs_during_settle():
+    """Short adaptive settle: dense and cell-list trajectories must track
+    each other (same pairs -> same physics; only fp summation order
+    differs, so allow a loose tolerance after many steps)."""
+    cfg = DEMConfig(variant="friction_angular", n=27, r=0.1, T=0.5)
+    y0, _ = icond_dense(cfg, seed=3)
+    y0 = {k: jnp.asarray(v) for k, v in y0.items()}
+    params = MersonParams(delta=cfg.delta, h_min=cfg.ht_min)
+    out = {}
+    for name in ("dense", "cell_list"):
+        rhs = make_dem_rhs(cfg, neighbor=name)
+        solve = jax.jit(lambda st, f=rhs: merson_solve(f, st, 0.5, params))
+        st, status = solve(merson_init(y0, 0.0, cfg.ht))
+        assert int(status) == 0
+        out[name] = st
+    np.testing.assert_allclose(np.asarray(out["dense"].y["pos"]),
+                               np.asarray(out["cell_list"].y["pos"]),
+                               rtol=1e-6, atol=1e-8)
+    assert int(out["dense"].steps) == int(out["cell_list"].steps)
+
+
+def test_occupancy_within_capacity():
+    cfg = DEMConfig(n=200, r=0.1)
+    nbr = make_cell_list(cfg)
+    y = settled_like_state(cfg, seed=1)
+    occ = nbr.cell_occupancy(y["pos"])
+    assert occ <= nbr.capacity
+    # sanity: the grid actually buckets into multiple cells
+    assert occ < cfg.n
+
+
+def test_large_n_smoke():
+    """n=2000 cell-list evaluation is well-formed (the dense form would
+    be 4M pairs; the cell list evaluates 2000 x 432 candidates)."""
+    cfg = DEMConfig(variant="friction_angular", n=2000, r=0.03)
+    rng = np.random.RandomState(0)
+    pos = rng.random_sample((2000, 3)) * np.array([1.0, 1.0, 2.0])
+    y = {"pos": jnp.asarray(pos),
+         "vel": jnp.asarray(0.1 * rng.standard_normal((2000, 3))),
+         "angvel": jnp.asarray(0.1 * rng.standard_normal((2000, 3)))}
+    rhs = make_dem_rhs(cfg, neighbor="cell_list")
+    out = rhs(0.0, y)
+    assert np.isfinite(np.asarray(out["vel"])).all()
+    # dense cross-check on a random subset is implicitly covered by the
+    # n=100 equality test; here just assert gravity shows up
+    assert np.asarray(out["pos"]).shape == (2000, 3)
