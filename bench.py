@@ -1,16 +1,21 @@
 """Benchmark harness: freezing-stencil throughput on the attached device.
 
-Measures the flagship compute path — the adaptive Runge-Kutta-Merson solve
+Default: the flagship compute path — the adaptive Runge-Kutta-Merson solve
 of the GradP phase-field + heat system (calc_mode 0) on the reference's MR
 grid (100 x 100 x 200) with the shipped Params physics and realistic
-initial conditions — and prints ONE JSON line:
+initial conditions — warmed into the stepping regime, then timed
+sustained.  Prints ONE JSON line:
 
     {"metric": ..., "value": N, "unit": ..., "vs_baseline": N/baseline}
 
-Baseline: the reference's PhysRevE-2025 GradP 1-node run sustains
-~2.4e8 cell*RHS-evals/s on 32 CPU cores (BASELINE.md: 2e6 cells x
-2,073,396 attempted steps x 5 stages / 86,247 s).  vs_baseline is the
-per-chip speedup over that full reference node.
+``--matrix`` benches the whole BASELINE.md freezing matrix (LR/MR/HR x
+GradP/SigmaP1-P/Temp) plus the DEM contact kernel, printing one JSON line
+per case (and writing BENCH_MATRIX.json); the final line is the headline
+MR GradP entry, preserving the one-line contract.
+
+vs_baseline compares one chip against the FULL reference configuration of
+that case (1-7 CPU nodes; per-case sustained cell*RHS-evals/s derived
+from the shipped logs, BASELINE.md).
 """
 
 import argparse
@@ -21,10 +26,29 @@ import time
 
 import numpy as np
 
-BASELINE_CELL_RHS_EVALS_PER_S = 2.4e8  # reference 1 node / 32 cores (BASELINE.md)
+# reference sustained throughput per case, cells x attempted steps x 5
+# stages / wall seconds from the shipped logs (BASELINE.md); config noted
+BASELINES = {
+    # (grid_nodes, calc_mode): evals/s
+    (100, 0): 1.12e8,   # LR GradP, 32 cores (2:42:11, 870,988 att)
+    (100, 1): 1.19e8,   # LR SigmaP1-P, 32 cores (1:10:38, 404,490 att)
+    (100, 2): 3.11e8,   # LR Temp, 32 cores (0:23:48, 355,469 att)
+    (200, 0): 2.40e8,   # MR GradP PhysRevE, 32 cores (23:57:27, 2,073,396)
+    (200, 1): 2.45e8,   # MR SigmaP1-P PhysRevE, 32 cores (18:51:51)
+    (200, 2): 2.00e8,   # MR Temp PhysRevE, 32 cores (20:33:06)
+    (400, 1): 1.79e9,   # HR SigmaP1-P smallsigma, 384 cores (90:30:55)
+    (400, 2): 1.22e9,   # HR Temp, 224 cores (104:47:12)
+    (400, 0): None,     # no HR GradP reference run exists
+}
+BASELINE_CELL_RHS_EVALS_PER_S = BASELINES[(200, 0)]
+
+MODE_NAMES = {0: "gradp", 1: "sigmap", 2: "temp"}
+GRID_NAMES = {100: "lr", 200: "mr", 400: "hr"}
 
 REFERENCE_BALLS = ("/root/reference/apps/intertrack-hybrid-S-freezing/"
                    "data/spheres_positions.txt")
+REPO_BALLS = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                          "data", "spheres_positions.txt")
 
 
 def log(*a):
@@ -54,25 +78,29 @@ BASELINE_DEM_PARTICLE_EVALS_PER_S = 820.0
 # f-evals / 37,059 s (BASELINE.md spheres_200_dense.log)
 
 
-def bench_dem(args):
+def bench_dem(args, neighbor="dense", n_spheres=None):
     import jax
     import jax.numpy as jnp
-    from porousfreezethaw_tpu.models.dem import DEMConfig, icond_dense, make_dem_rhs
+    from porousfreezethaw_tpu.models.dem import (
+        DEMConfig, icond_dense, make_dem_rhs)
     from porousfreezethaw_tpu.solvers.merson import (
         MersonParams, merson_init, merson_solve)
 
+    n = n_spheres or args.n_spheres
     dev = jax.devices()[0]
     log(f"device: {dev} ({dev.platform})")
-    cfg = DEMConfig(variant="friction_angular", n=args.n_spheres)
+    # large-n beds use a proportionally smaller radius, like a finer bed
+    r = 0.1 if n <= 400 else 0.1 * (200.0 / n) ** (1.0 / 3.0)
+    cfg = DEMConfig(variant="friction_angular", n=n, r=r)
     y0, _ = icond_dense(cfg, seed=0)
-    rhs = make_dem_rhs(cfg, dtype=jnp.float32)
-    steps = args.steps or 20000
+    rhs = make_dem_rhs(cfg, dtype=jnp.float32, neighbor=neighbor)
+    steps = args.steps or (20000 if n <= 400 else 2000)
     params = MersonParams(delta=cfg.delta, h_min=cfg.ht_min, max_steps=steps,
                           handle_nan=True)
     solve = jax.jit(lambda st: merson_solve(rhs, st, 1e9, params))
     state = merson_init({k: jnp.asarray(v, jnp.float32) for k, v in y0.items()},
                         0.0, cfg.ht)
-    log("compiling + warmup...")
+    log(f"compiling + warmup (n={n}, neighbor={neighbor})...")
     state, _ = solve(state)
     n0 = int(state.steps_total)
     log(f"timing {steps} attempted steps (t={float(state.t):.3f}s sim)...")
@@ -83,48 +111,18 @@ def bench_dem(args):
     value = 5.0 * cfg.n * done / wall
     log(f"{done} attempts, {wall:.2f}s -> {value:.3e} particle*RHS-evals/s "
         f"(t={float(state.t):.3f}s sim)")
-    print(json.dumps({
-        "metric": "dem_200_particle_rhs_evals_per_s",
+    suffix = "" if neighbor == "dense" else "_celllist"
+    return {
+        "metric": f"dem_{n}{suffix}_particle_rhs_evals_per_s",
         "value": value,
         "unit": "particle*RHS-evals/s/chip",
-        "vs_baseline": value / BASELINE_DEM_PARTICLE_EVALS_PER_S,
-    }))
+        "vs_baseline": (value / BASELINE_DEM_PARTICLE_EVALS_PER_S
+                        if n == 200 else None),
+    }
 
 
-def main():
-    ap = argparse.ArgumentParser()
-    ap.add_argument("--suite", choices=["freezing", "dem"], default="freezing")
-    ap.add_argument("--n-spheres", type=int, default=200)
-    ap.add_argument("--grid-nodes", type=int, default=200,
-                    help="cells along the longest side: 100=LR, 200=MR, 400=HR")
-    ap.add_argument("--steps", type=int, default=0,
-                    help="attempted Merson steps to time (0 = auto)")
-    ap.add_argument("--dtype", choices=["f32", "f64"], default="f32")
-    ap.add_argument("--platform", default=None,
-                    help="force a jax platform (e.g. cpu for testing)")
-    ap.add_argument("--ball-positions", default=None)
-    ap.add_argument("--bz", type=int, default=0,
-                    help="force the Pallas z-block size (0 = auto)")
-    ap.add_argument("--vmem-mb", type=int, default=0,
-                    help="force the Mosaic scoped-vmem limit in MiB (0 = default)")
-    ap.add_argument("--fused", choices=["auto", "attempt", "stage", "on",
-                                        "off"], default="auto",
-                    help="Pallas path: 'stage' = per-stage kernels with "
-                         "fused stage-5 tail (fastest measured), "
-                         "'attempt' = double-buffered full-attempt "
-                         "pipeline, 'auto'/'on' = stage")
-    args = ap.parse_args()
-
-    if args.grid_nodes < 4:
-        ap.error("--grid-nodes must be >= 4")
-
+def bench_freezing(args, grid_nodes=None, calc_mode=0):
     import jax
-    if args.platform:
-        jax.config.update("jax_platforms", args.platform)
-    if args.dtype == "f64":
-        jax.config.update("jax_enable_x64", True)
-    if args.suite == "dem":
-        return bench_dem(args)
     import jax.numpy as jnp
 
     from porousfreezethaw_tpu.cases import freezing_params_text
@@ -137,22 +135,28 @@ def main():
     from porousfreezethaw_tpu.solvers.merson import (
         MersonParams, merson_init, merson_solve)
 
+    grid_nodes = grid_nodes or args.grid_nodes
     dev = jax.devices()[0]
     log(f"device: {dev} ({dev.platform})")
     dtype = np.float64 if args.dtype == "f64" else np.float32
 
     pf = parse_param_file(
-        freezing_params_text(grid_nodes=args.grid_nodes), env={"OUTPUT": "/tmp"})
+        freezing_params_text(grid_nodes=grid_nodes, calc_mode=calc_mode),
+        env={"OUTPUT": "/tmp"})
     prm = FreezingParams.from_dict(pf.vars)
     geom = GridGeometry(pf.vars["L1"], pf.vars["L2"], pf.vars["L3"],
                         int(pf.vars["n1"]), int(pf.vars["n2"]),
                         int(pf.vars["n3"]))
     log(f"grid: {geom.n1} x {geom.n2} x {geom.n3} "
-        f"({geom.num_cells/1e6:.2f} M cells), dtype {args.dtype}")
+        f"({geom.num_cells/1e6:.2f} M cells), calc_mode {calc_mode}, "
+        f"dtype {args.dtype}")
 
-    w0 = build_initial_conditions(geom, prm, pf.icond_formulas, dtype=dtype)
-    ball_file = args.ball_positions or (
-        REFERENCE_BALLS if os.path.exists(REFERENCE_BALLS) else None)
+    icond = dict(pf.icond_formulas)
+    if calc_mode == 2:
+        icond["p"] = "0"  # Model 2 requires p=0 (reference Params comment)
+    w0 = build_initial_conditions(geom, prm, icond, dtype=dtype)
+    ball_file = args.ball_positions or next(
+        (p for p in (REPO_BALLS, REFERENCE_BALLS) if os.path.exists(p)), None)
     if ball_file:
         balls = read_ball_positions(ball_file, prm)
     else:
@@ -171,7 +175,7 @@ def main():
     else:
         prm_solver = prm
 
-    rhs = make_rhs(geom, prm_solver, calc_mode=0)
+    rhs = make_rhs(geom, prm_solver, calc_mode=calc_mode)
     delta = pf.vars["delta"]
 
     use_fused = (args.fused in ("on", "attempt", "stage") or (
@@ -179,51 +183,70 @@ def main():
         and jax.devices()[0].platform not in ("cpu",)))
     stage_fn = None
     attempt_fn = None
+    mesh = None
+    if args.mesh:
+        from porousfreezethaw_tpu.parallel.sharding import make_mesh
+        mesh = make_mesh(args.mesh)
     if use_fused:
         from porousfreezethaw_tpu.ops.pallas.stencil import (
             make_fused_attempt, make_fused_stage, pad_state)
-        if args.fused == "attempt":
-            attempt_fn = make_fused_attempt(geom, prm_solver, calc_mode=0,
-                                            bz=args.bz)
+        if mesh is not None:
+            from porousfreezethaw_tpu.parallel.fused import (
+                make_sharded_fused_stage)
+            stage_fn = make_sharded_fused_stage(
+                geom, prm_solver, calc_mode, mesh,
+                overlap=not args.no_overlap)
+            log(f"fused Pallas stage kernels: ON (sharded over "
+                f"{dict(zip(mesh.axis_names, mesh.devices.shape))}, "
+                f"overlap={'ON' if not args.no_overlap else 'OFF'})")
+        elif args.fused == "attempt":
+            attempt_fn = make_fused_attempt(geom, prm_solver,
+                                            calc_mode=calc_mode, bz=args.bz)
             log("fused Pallas attempt pipeline: ON")
         else:
-            stage_fn = make_fused_stage(geom, prm_solver, calc_mode=0,
-                                        bz=args.bz,
+            stage_fn = make_fused_stage(geom, prm_solver,
+                                        calc_mode=calc_mode, bz=args.bz,
                                         vmem_limit_mb=args.vmem_mb)
             log("fused Pallas stage kernels (stage-5 tail): ON")
 
     steps = args.steps
     if steps == 0:
         steps = max(20, int(4e8 / geom.num_cells))
+    warm = args.warm_steps
+    if warm == 0:
+        warm = min(4 * steps, max(steps, int(2e9 / geom.num_cells)))
 
     # NaN backoff on (the reference's recommended setting for rough starts,
     # RK_Asolver.c:96-131) and a tame initial tau: in f32 the tau=1
     # transient overflows the stage cascade
-    params = MersonParams(delta=delta, h_min=pf.vars["tau_min"],
-                          max_steps=steps, handle_nan=True)
-    solve = jax.jit(lambda st: merson_solve(rhs, st, 1e9, params,
-                                            stage_fn=stage_fn,
-                                            attempt_fn=attempt_fn))
-
-    def run(state):
-        out, status = solve(state)
-        jax.block_until_ready(out.y)
-        return out
+    mk = lambda n: MersonParams(delta=delta, h_min=pf.vars["tau_min"],
+                                max_steps=n, handle_nan=True)
+    solve_warm = jax.jit(lambda st: merson_solve(
+        rhs, st, 1e9, mk(warm), stage_fn=stage_fn, attempt_fn=attempt_fn))
+    solve = jax.jit(lambda st: merson_solve(
+        rhs, st, 1e9, mk(steps), stage_fn=stage_fn, attempt_fn=attempt_fn))
 
     w_dev = jnp.asarray(w0, dtype)
     if use_fused:
         w_dev = pad_state(w_dev, geom)
+        if mesh is not None:
+            from porousfreezethaw_tpu.parallel.fused import padded_sharding
+            w_dev = jax.device_put(w_dev, padded_sharding(mesh))
     state = merson_init(w_dev, 0.0, min(pf.vars["tau"], 1e-4))
-    log("compiling + warmup...")
+    log(f"compiling + warming {warm} attempted steps into the stepping "
+        f"regime...")
     t0 = time.time()
-    state = run(state)
+    state, _ = solve_warm(state)
+    jax.block_until_ready(state.y)
+    t_sim = float(state.t)
     log(f"warmup done in {time.time()-t0:.1f}s "
-        f"({int(state.steps)}/{int(state.steps_total)} steps)")
+        f"({int(state.steps)}/{int(state.steps_total)} steps, "
+        f"t={t_sim:.4f}s sim)")
 
-    log(f"timing {steps} attempted steps...")
+    log(f"timing {steps} attempted steps (sustained)...")
     t0 = time.time()
     before = int(state.steps_total)
-    state = run(state)
+    state, _ = solve(state)
     # fetch a scalar to really synchronize (block_until_ready can return
     # early through the remote-TPU tunnel)
     done = int(state.steps_total) - before
@@ -235,12 +258,106 @@ def main():
         f"t={float(state.t):.4f}s sim, {wall:.2f}s wall -> "
         f"{value:.3e} cell*RHS-evals/s")
 
-    print(json.dumps({
-        "metric": "freezing_gradp_cell_rhs_evals_per_s",
+    base = BASELINES.get((grid_nodes, calc_mode))
+    if grid_nodes == 200 and calc_mode == 0:
+        metric = "freezing_gradp_cell_rhs_evals_per_s"  # headline contract
+    else:
+        metric = (f"freezing_{MODE_NAMES[calc_mode]}_"
+                  f"{GRID_NAMES.get(grid_nodes, grid_nodes)}"
+                  f"_cell_rhs_evals_per_s")
+    return {
+        "metric": metric,
         "value": value,
         "unit": "cell*RHS-evals/s/chip",
-        "vs_baseline": value / BASELINE_CELL_RHS_EVALS_PER_S,
-    }))
+        "vs_baseline": (value / base) if base else None,
+        "ms_per_attempt": wall / done * 1e3,
+    }
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--suite", choices=["freezing", "dem"], default="freezing")
+    ap.add_argument("--matrix", action="store_true",
+                    help="bench the full LR/MR/HR x GradP/SigmaP/Temp "
+                         "matrix + DEM; one JSON line each")
+    ap.add_argument("--n-spheres", type=int, default=200)
+    ap.add_argument("--grid-nodes", type=int, default=200,
+                    help="cells along the longest side: 100=LR, 200=MR, 400=HR")
+    ap.add_argument("--calc-mode", type=int, default=0, choices=[0, 1, 2])
+    ap.add_argument("--steps", type=int, default=0,
+                    help="attempted Merson steps to time (0 = auto)")
+    ap.add_argument("--warm-steps", type=int, default=0,
+                    help="attempted steps before timing (0 = auto)")
+    ap.add_argument("--dtype", choices=["f32", "f64"], default="f32")
+    ap.add_argument("--platform", default=None,
+                    help="force a jax platform (e.g. cpu for testing)")
+    ap.add_argument("--mesh", default=None,
+                    help="bench the sharded fused path over a device mesh "
+                         "spec (e.g. 'z')")
+    ap.add_argument("--no-overlap", action="store_true",
+                    help="disable the interior/edge halo-overlap split")
+    ap.add_argument("--ball-positions", default=None)
+    ap.add_argument("--bz", type=int, default=0,
+                    help="force the Pallas z-block size (0 = auto)")
+    ap.add_argument("--vmem-mb", type=int, default=0,
+                    help="force the Mosaic scoped-vmem limit in MiB (0 = default)")
+    ap.add_argument("--profile-dir", default=None,
+                    help="capture a jax.profiler trace (xplane/tensorboard) "
+                         "of the timed section into this directory")
+    ap.add_argument("--fused", choices=["auto", "attempt", "stage", "on",
+                                        "off"], default="auto",
+                    help="Pallas path: 'stage' = per-stage kernels with "
+                         "fused stage-5 tail (fastest measured), "
+                         "'attempt' = double-buffered full-attempt "
+                         "pipeline, 'auto'/'on' = stage")
+    args = ap.parse_args()
+
+    if args.grid_nodes < 4:
+        ap.error("--grid-nodes must be >= 4")
+
+    import jax
+    if args.platform:
+        jax.config.update("jax_platforms", args.platform)
+    # x64 always on: field dtype is selected separately; the Merson
+    # controller scalars must be f64 (see apps/intertrack.py)
+    jax.config.update("jax_enable_x64", True)
+
+    import contextlib
+
+    @contextlib.contextmanager
+    def maybe_profile():
+        if args.profile_dir:
+            with jax.profiler.trace(args.profile_dir):
+                yield
+            log(f"profiler trace written to {args.profile_dir}")
+        else:
+            yield
+
+    if args.matrix:
+        results = []
+        for gn in (100, 200, 400):
+            for cm in (0, 1, 2):
+                rec = bench_freezing(args, grid_nodes=gn, calc_mode=cm)
+                results.append(rec)
+                print(json.dumps(rec), flush=True)
+        for n, nb in ((200, "dense"), (2000, "cell_list"),
+                      (20000, "cell_list")):
+            rec = bench_dem(args, neighbor=nb, n_spheres=n)
+            results.append(rec)
+            print(json.dumps(rec), flush=True)
+        with open("BENCH_MATRIX.json", "w") as f:
+            json.dump(results, f, indent=1)
+        headline = next(r for r in results
+                        if r["metric"] == "freezing_gradp_cell_rhs_evals_per_s")
+        print(json.dumps(headline))
+        return
+
+    with maybe_profile():
+        if args.suite == "dem":
+            rec = bench_dem(args)
+        else:
+            rec = bench_freezing(args, calc_mode=args.calc_mode)
+    print(json.dumps(rec))
 
 
 if __name__ == "__main__":
