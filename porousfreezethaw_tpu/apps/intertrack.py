@@ -446,6 +446,11 @@ def main(argv: Optional[List[str]] = None) -> int:
     ap.add_argument("--platform", default=None,
                     help="force a jax platform (e.g. 'cpu'; this image "
                          "pins jax_platforms=axon over JAX_PLATFORMS)")
+    ap.add_argument("--profile-dir", default=None,
+                    help="capture a jax.profiler trace (xplane/tensorboard)"
+                         " of the whole run into this directory — the TPU"
+                         " analog of the reference's MPI_Wtime phase "
+                         "instrumentation (SURVEY §5.1)")
     args = ap.parse_args(argv)
 
     if args.platform:
@@ -490,6 +495,13 @@ def main(argv: Optional[List[str]] = None) -> int:
         log("\nENTERING BATCH PROCESSING MODE: %d loop%s defined, %d iterations in total.\n",
             len(ubounds), "s" if len(ubounds) > 1 else "", total_iters)
 
+    profile_ctx = None
+    if args.profile_dir:
+        import jax
+        profile_ctx = jax.profiler.trace(args.profile_dir)
+        profile_ctx.__enter__()
+        log("Profiler trace -> %s\n", args.profile_dir)
+
     status = 0
     for loop_iter, loop_values in batch_iterations(ubounds):
         loop_env = {f"i{q+1}": (loop_values[q] if q < len(loop_values) else 1)
@@ -524,6 +536,8 @@ def main(argv: Optional[List[str]] = None) -> int:
             status = 1
             break
 
+    if profile_ctx is not None:
+        profile_ctx.__exit__(None, None, None)
     for child in children:
         child.wait()
     if debug_log is not None:

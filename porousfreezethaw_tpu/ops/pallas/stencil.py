@@ -711,7 +711,7 @@ class FusedAttempt:
 
             def kernel(scal_ref, cur_ref, *refs):
                 ins = refs[:nk + 1]            # [w2, K_1..K_nk]
-                outs = refs[nk + 1:nk + 3] if tail else refs[nk + 1:nk + 2]
+                outs = refs[nk + 1:nk + 3]     # [K, w2pass] or [w2, eps]
                 scratch = refs[-(nk + 2 + (1 if tail else 0)):-1]
                 sems = refs[-1]
                 i = jnp.asarray(pl.program_id(0), jnp.int32)
@@ -760,6 +760,12 @@ class FusedAttempt:
                                    jnp.where(valid, dp, zero), zero])
 
                 if not tail:
+                    # outs[0] is the K buffer; outs[1] is the aliased w2
+                    # passthrough (never written — threading the stacked
+                    # buffer through every stage gives each buffer version
+                    # exactly ONE consumer, so XLA satisfies the aliasing
+                    # without a defensive whole-buffer copy; round 1
+                    # measured that copy at ~0.1 ms/attempt)
                     outs[0][:] = k_out.astype(outs[0].dtype)
                     return
                 # Merson tail in VMEM: error max + speculative update into
@@ -781,21 +787,25 @@ class FusedAttempt:
                 out_cp.wait()
 
             ndim_tail = len(kshape) - 2
+            w2_shape = jax.ShapeDtypeStruct((2,) + kshape, jnp.float32)
             if tail:
                 out_specs = [
                     pl.BlockSpec(memory_space=pltpu.ANY),
                     pl.BlockSpec((1, 8, _LANES), lambda i: (i, 0, 0),
                                  memory_space=pltpu.VMEM)]
                 out_shapes = [
-                    jax.ShapeDtypeStruct((2,) + kshape, jnp.float32),
+                    w2_shape,
                     jax.ShapeDtypeStruct((nb, 8, _LANES), jnp.float32)]
                 io_aliases = {2: 0}  # stacked w2 (after scal, cur) -> out 0
             else:
-                out_specs = pl.BlockSpec(
-                    block_shape, (lambda i: (0, i) + (0,) * ndim_tail),
-                    memory_space=pltpu.VMEM)
-                out_shapes = jax.ShapeDtypeStruct(kshape, jnp.float32)
-                io_aliases = {}
+                out_specs = [
+                    pl.BlockSpec(
+                        block_shape, (lambda i: (0, i) + (0,) * ndim_tail),
+                        memory_space=pltpu.VMEM),
+                    pl.BlockSpec(memory_space=pltpu.ANY)]
+                out_shapes = [jax.ShapeDtypeStruct(kshape, jnp.float32),
+                              w2_shape]
+                io_aliases = {2: 1}  # w2 passthrough
             return pl.pallas_call(
                 kernel,
                 grid=(nb,),
@@ -862,18 +872,31 @@ class FusedAttempt:
 
     def attempt(self, t, h, carry):
         y2, cur = carry
-        K1 = self._call(t, h, y2, cur, [])
-        K2 = self._call(t + h / 3, h, y2, cur, [(1.0 / 3.0, K1)])
-        K3 = self._call(t + h / 3, h, y2, cur,
-                        [(1.0 / 6.0, K1), (1.0 / 6.0, K2)])
-        K4 = self._call(t + h / 2, h, y2, cur,
-                        [(1.0 / 8.0, K1), (3.0 / 8.0, K3)])
+        y0 = y2
+        run = {"y2": y2}
+
+        def step(t_, ks):
+            # thread the stacked buffer through every stage (the w2pass
+            # aliased output): each version has one consumer, so the
+            # chain compiles copy-free.  Interpret mode does not emulate
+            # aliasing (passthroughs come back zeroed), so there the
+            # original buffer feeds every stage instead.
+            k, y2n = self._call(t_, h, run["y2"], cur, ks)
+            if not self._interpret:
+                run["y2"] = y2n
+            return k
+
+        K1 = step(t, [])
+        K2 = step(t + h / 3, [(1.0 / 3.0, K1)])
+        K3 = step(t + h / 3, [(1.0 / 6.0, K1), (1.0 / 6.0, K2)])
+        K4 = step(t + h / 2, [(1.0 / 8.0, K1), (3.0 / 8.0, K3)])
         y2_new, eps_blocks = self._call(
-            t + h, h, y2, cur, [(0.5, K1), (-1.5, K3), (2.0, K4)], tail=True)
+            t + h, h, run["y2"], cur, [(0.5, K1), (-1.5, K3), (2.0, K4)],
+            tail=True)
         if self._interpret:
-            # interpret mode does not emulate input/output aliasing: restore
-            # the untouched slot so semantics match the compiled kernel
-            y2_new = y2_new.at[cur].set(y2[cur])
+            # restore the untouched slot so semantics match the compiled
+            # kernel
+            y2_new = y2_new.at[cur].set(y0[cur])
         return (y2_new, cur), eps_blocks
 
     def commit(self, carry_spec, accept):
