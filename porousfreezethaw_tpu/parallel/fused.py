@@ -48,6 +48,36 @@ def padded_sharding(mesh: Mesh, axis_name: str = "z") -> NamedSharding:
     return NamedSharding(mesh, P(None, axis_name, None, None))
 
 
+def halo_bytes_per_attempt(geom: GridGeometry, layout: str = "flat",
+                           dtype_bytes: int = 4) -> int:
+    """ICI halo traffic per Merson attempt per device (both directions).
+
+    Each stage ppermutes the raw edge planes of w and every K entering
+    its combination — stage K-counts (0, 1, 2, 3, 3) — one plane per
+    input per direction, 3 variables each.  The analytic overlap model:
+    with the interior/edge kernel split, this transfer runs concurrently
+    with the interior stencil pass, so scaling stays compute-bound while
+
+        halo_time = bytes / ICI_bw  <  interior_time
+                  ~ (zl - 2*bz) / zl * per-shard stage time,
+
+    which at MR over 8 shards (zl=25) gives ~34 us of transfer (v5p-class
+    ~100 GB/s links) against ~90 us of interior compute — hidden with
+    ~2.6x headroom; the >= 80% weak-scaling north star follows as long as
+    zl stays >= ~3 z-blocks.  (The reference's unoverlapped exchange is
+    its documented bottleneck, include/RK_MPI_SAsolver.h:161-169: 58-69%
+    strong-scaling efficiency at 4 nodes.)
+    """
+    from ..ops.pallas.stencil import flat_extent, padded_extents
+    if layout == "flat":
+        plane = flat_extent(geom)
+    else:
+        yp, xp = padded_extents(geom)
+        plane = yp * xp
+    stage_inputs = [1, 2, 3, 4, 4]          # w + K's per stage
+    return sum(stage_inputs) * 2 * 3 * plane * dtype_bytes
+
+
 def make_sharded_fused_stage(geom: GridGeometry, params: FreezingParams,
                              calc_mode: int, mesh: Mesh,
                              axis_name: str = "z", *, bz: int = 0,

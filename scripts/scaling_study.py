@@ -110,8 +110,11 @@ def main():
         wall = time.time() - t0
         done = int(state.steps_total) - n0
         evals = 5.0 * geom.num_cells * done / wall
+        from porousfreezethaw_tpu.parallel.fused import halo_bytes_per_attempt
         rows.append({"devices": nz, "cell_rhs_evals_per_s": evals,
-                     "wall_s": wall, "attempts": done})
+                     "wall_s": wall, "attempts": done,
+                     "ici_halo_bytes_per_attempt":
+                         halo_bytes_per_attempt(geom) if nz > 1 else 0})
         print(f"z={nz}: {evals:.3e} evals/s ({wall:.2f}s)", file=sys.stderr)
 
     base = rows[0]["cell_rhs_evals_per_s"]
