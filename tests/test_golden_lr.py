@@ -1,0 +1,57 @@
+"""Golden regression vs the reference's shipped LR run (SURVEY §4.2).
+
+The reference's step counts are its strongest cross-implementation
+oracle: deterministic and rank-count invariant (intertrack.log of
+``results/100_low-resolution/Cases-LR.tgz``).  This test replays the
+shipped Temp case (``tests/golden/Params-LR-Temp``) on the real 50x50x100
+grid to the first snapshot boundary (t=360 s) in f64 and pins the
+successful / total attempt counts against the reference log's snapshot-1
+line (1850 / 2256).
+
+This is ~1 minute of CPU time (the heaviest test in the suite); the
+full 10-hour-case comparison lives in VALIDATION.md (produced by
+scripts/run_golden_lr.sh + scripts/compare_golden.py on the TPU).
+"""
+
+import os
+import re
+
+from porousfreezethaw_tpu.apps.intertrack import main
+
+HERE = os.path.dirname(os.path.abspath(__file__))
+GOLDEN = os.path.join(HERE, "golden", "Params-LR-Temp")
+
+# reference Cases-LR/freeze-thaw-10h-Temp/OUTPUT/intertrack.log, snapshot 1
+REF_SUCCESSFUL, REF_TOTAL = 1850, 2256
+
+
+def test_lr_temp_snapshot1_step_counts(tmp_path):
+    text = open(GOLDEN).read()
+    # run exactly one reference snapshot interval: with saved_files=100
+    # the loop takes snapshots 0..99 spaced final_time/99 apart
+    # (intertrack.c:2265-2271), so snapshot 1 falls at t = 36000/99 s
+    text = re.sub(r"final_time\s+\S+", "final_time 10*hours/99", text)
+    text = re.sub(r"saved_files\s+\S+", "saved_files 2", text)
+    pfile = tmp_path / "Params"
+    pfile.write_text(text)
+
+    old = os.environ.get("OUTPUT")
+    os.environ["OUTPUT"] = str(tmp_path)
+    try:
+        assert main([str(pfile)]) == 0
+    finally:
+        if old is None:
+            os.environ.pop("OUTPUT", None)
+        else:
+            os.environ["OUTPUT"] = old
+
+    log = (tmp_path / "intertrack.log").read_text()
+    m = re.search(r"Successful R-K steps: (\d+) of (\d+) total", log)
+    assert m, log[-2000:]
+    successful, total = int(m[1]), int(m[2])
+
+    # f64 tracks the reference within a few steps-per-thousand (the
+    # TPU run measured 1809/2233 at snapshot 1, converging to 0.06%
+    # relative by snapshot 25); allow 3%
+    assert abs(successful - REF_SUCCESSFUL) <= 0.03 * REF_SUCCESSFUL
+    assert abs(total - REF_TOTAL) <= 0.03 * REF_TOTAL
