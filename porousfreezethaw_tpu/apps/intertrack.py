@@ -258,7 +258,11 @@ def run_iteration(
         # observable difference from the reference's per-step callback.
         import dataclasses as _dc
         from ..solvers import merson as _m
-        chunk = 256
+        # larger chunks amortize the host round trip (the fused f32 path
+        # runs ~4300 attempts/s at LR, so 256-step chunks would sync the
+        # tunnel ~17x/s); only trigger-file latency grows with the chunk
+        chunk = int(os.environ.get(
+            "PFT_SERVICE_CHUNK", "1024" if platform != "cpu" else "256"))
         cparams = _dc.replace(mparams, max_steps=chunk, record_trace=chunk)
         solve_chunk = jax.jit(
             lambda st, ft: merson_solve(rhs, st, ft, cparams,
