@@ -13,8 +13,18 @@ from __future__ import annotations
 
 def freezing_params_text(grid_nodes: int = 100, calc_mode: int = 0,
                          final_time_hours: float = 10.0,
-                         saved_files: int = 100) -> str:
-    """Params text for the freezing benchmark at the given resolution."""
+                         saved_files: int = 100,
+                         alpha_mult: float = 1.0,
+                         zeta: float = 1.05) -> str:
+    """Params text for the freezing benchmark at the given resolution.
+
+    ``alpha_mult`` reproduces the reference's "smallsigma" variants
+    (sigma ~ 1/alpha): the shipped ``*-smallsigma`` cases set
+    ``alpha = water_rho*water_cp*3`` (Cases-LR.tgz Params diff); the
+    PhysRevE "tinysigma" revision uses larger factors.  ``zeta`` is the
+    glass thermal-coupling exponent, which also varies per shipped case
+    (1.0 Temp-LR, 2.0 SigmaP1-P-LR, 1.05 PhysRevE).
+    """
     return f"""\
 # Freezing/thawing benchmark case (water in a porous glass-bead bed)
 # domain 3 cm x 3 cm x 6 cm, {grid_nodes} cells along the long side
@@ -57,13 +67,13 @@ beads_offset_x  wall_thickness*L1
 beads_offset_y  beads_offset_x
 beads_offset_z  beads_offset_x
 xi_gl           L3/500
-zeta            1.05
+zeta            {zeta}
 
 # phase-field model
 xi              L3/100
 a               2
 b               1
-alpha           water_rho*water_cp
+alpha           water_rho*water_cp{"*" + repr(alpha_mult) if alpha_mult != 1.0 else ""}
 mu              1e-4
 p_eps0          0.05
 p_eps1          0.2
