@@ -242,7 +242,16 @@ def run_iteration(
         log("Fused Pallas stage kernel: ON\n")
 
     state = merson_init(w_dev, starting_time, tau)
-    mparams = MersonParams(delta=delta, h_min=tau_min)
+    # f32 production runs enable the noise-floor escape: the f32
+    # stage-state rounding puts an h-independent floor under the Merson
+    # error estimate that can pin h at the controller's growth fixed
+    # point (eps = 0.328 delta); f64 keeps the exact reference rule
+    growth_min = 1.05 if np.dtype(dtype) == np.float32 else 0.0
+    mparams = MersonParams(delta=delta, h_min=tau_min,
+                           accept_growth_min=growth_min)
+    if growth_min:
+        log("f32 step-control: accept-side minimum h growth %.2f\n",
+            growth_min)
 
     # service facility: RK debug log + snapshot trigger (intertrack.c:1072-1116)
     trigger_file = pf.setting("snapshot_trigger")

@@ -84,6 +84,21 @@ class MersonParams:
                                    # the host-callback-free way to drive the
                                    # RK debug log on remote TPUs (io_callback
                                    # does not work through the axon tunnel)
+    accept_growth_min: float = 0.0  # if > 1: minimum h-growth factor on
+                                   # ACCEPTED steps.  The reference growth
+                                   # rule 0.8*(delta/eps)^0.2 has its fixed
+                                   # point at eps = 0.328*delta; an
+                                   # h-independent error-estimator noise
+                                   # floor at/above that value pins h there
+                                   # forever (measured for f32 GradP fields:
+                                   # stage-state rounding ulp(u)*|J| ~
+                                   # 3.5e-4 vs delta = 1e-3, ~3-10x step
+                                   # inflation).  A floor of ~1.05 lets h
+                                   # climb out of the noise-dominated regime
+                                   # and equilibrate through genuine rejects
+                                   # (~1 per 5-6 accepts) at the true-error
+                                   # crossing.  Off (0.0) for f64 validation
+                                   # runs: exact reference step sequences.
 
 
 def _scalar_dtype(field_dtype):
@@ -247,12 +262,22 @@ def merson_solve(
             eps = eps * jnp.abs(h3)
 
         eps = eps.astype(sdtype)
-        new_h = jnp.where(eps > 0.0,
-                          0.8 * (delta / eps) ** jnp.asarray(0.2, sdtype),
-                          jnp.asarray(2.0, sdtype)) * h
+        fac = jnp.where(eps > 0.0,
+                        0.8 * (delta / eps) ** jnp.asarray(0.2, sdtype),
+                        jnp.asarray(2.0, sdtype))
 
         nan_occurred = ~jnp.isfinite(eps) if params.handle_nan else jnp.asarray(False)
         accept = (eps < delta) | (jnp.abs(h) < h_min)
+
+        if params.accept_growth_min > 1.0:
+            # noise-floor escape (see MersonParams.accept_growth_min):
+            # accepted steps grow h by at least this factor; rejected
+            # steps keep the pure reference shrink
+            fac = jnp.where(accept,
+                            jnp.maximum(fac, jnp.asarray(
+                                params.accept_growth_min, sdtype)),
+                            fac)
+        new_h = fac * h
 
         # --- accepted-step update (only where accept & ~nan) ---
         do_update = accept & ~nan_occurred

@@ -320,3 +320,59 @@ class TestMixedPrecision:
                                   MersonParams(delta=1e-6))
         assert int(status) == 0
         assert float(st.t) == pytest.approx(36000.1, abs=1e-9)
+
+
+class TestAcceptGrowthMin:
+    """The noise-floor escape (MersonParams.accept_growth_min).
+
+    The reference growth rule 0.8*(delta/eps)^0.2 has its fixed point at
+    eps = 0.8^5 * delta = 0.328 delta: an h-independent estimator noise
+    floor at that value pins h forever (the f32 stage-state rounding
+    produces exactly such a floor on developed GradP fields).  A synthetic
+    h-independent floor reproduces the pinning; the growth floor must
+    escape it without breaking accuracy.
+    """
+
+    @staticmethod
+    def _noisy_rhs(floor, n=128):
+        # y' = 1 plus tiny fast decorrelated oscillations: the max-norm
+        # Merson error combination over the n components sees a STABLE
+        # h-independent O(2*floor) contribution (a max over many random
+        # phases concentrates at the envelope — like the max over grid
+        # cells of f32 rounding noise), while the solution stays
+        # y ~ t + O(floor/omega)
+        rng = np.random.RandomState(0)
+        om = jnp.asarray(1e7 * (1.0 + rng.rand(n)))
+        ph = jnp.asarray(2 * np.pi * rng.rand(n))
+        return lambda t, y: 1.0 + floor * jnp.sin(om * t + ph)
+
+    def test_pinning_without_floor(self):
+        delta = 1e-3
+        f = self._noisy_rhs(0.20e-3)  # envelope ~0.4e-3 > 0.328*delta
+        st, status = solve_jax(f, 0.0, np.zeros(128), 1.0, 1e-4,
+                               delta=delta, max_steps=200_000)
+        assert status == 0
+        pinned_steps = int(st.steps_total)  # measured: ~700 (h pins ~6e-3)
+
+        st2, status2 = solve_jax(f, 0.0, np.zeros(128), 1.0, 1e-4,
+                                 delta=delta, max_steps=200_000,
+                                 accept_growth_min=1.05)
+        assert status2 == 0
+        # the escape must beat the pinned run decisively (measured ~5.5x)
+        # and still land on the right answer
+        assert int(st2.steps_total) * 4 < pinned_steps
+        assert float(st2.y[0]) == pytest.approx(1.0, abs=1e-4)
+        assert float(st.y[0]) == pytest.approx(1.0, abs=1e-4)
+
+    def test_no_effect_when_error_dominates(self):
+        # smooth stiff-ish problem, estimator is true-error dominated:
+        # the floor may add a few rejects but must not change the
+        # solution and must stay within ~1.35x of the reference attempts
+        f = lambda t, y: -8.0 * y
+        st, _ = solve_jax(f, 0.0, [1.0], 1.0, 1e-3, delta=1e-7)
+        st2, _ = solve_jax(f, 0.0, [1.0], 1.0, 1e-3, delta=1e-7,
+                           accept_growth_min=1.05)
+        # different (still delta-controlled) step sequence: same answer
+        # to well within the tolerance's global-error scale
+        assert float(st2.y[0]) == pytest.approx(float(st.y[0]), rel=1e-4)
+        assert int(st2.steps_total) <= int(st.steps_total) * 1.35
