@@ -218,13 +218,21 @@ def bench_freezing(args, grid_nodes=None, calc_mode=0):
 
     # NaN backoff on (the reference's recommended setting for rough starts,
     # RK_Asolver.c:96-131) and a tame initial tau: in f32 the tau=1
-    # transient overflows the stage cascade
-    mk = lambda n: MersonParams(delta=delta, h_min=pf.vars["tau_min"],
-                                max_steps=n, handle_nan=True)
-    solve_warm = jax.jit(lambda st: merson_solve(
-        rhs, st, 1e9, mk(warm), stage_fn=stage_fn, attempt_fn=attempt_fn))
+    # transient overflows the stage cascade.  accept_growth_min is the f32
+    # noise-floor escape (see MersonParams) — without it the f32 GradP run
+    # pins at h~1e-9 and never reaches the physical stepping regime; the
+    # intertrack app applies the same default.
+    params = MersonParams(
+        delta=delta, h_min=pf.vars["tau_min"], max_steps=steps,
+        handle_nan=True,
+        accept_growth_min=1.05 if dtype == np.float32 else 0.0)
+    # ONE compiled program for both warmup and timing: max_steps is baked
+    # into the while_loop, so warm/timed programs with different counts
+    # would each pay their own (potentially cold through the remote-compile
+    # tunnel) compilation — round 2's recorded bench lost 14x to exactly
+    # that: the timed section included the second program's compile.
     solve = jax.jit(lambda st: merson_solve(
-        rhs, st, 1e9, mk(steps), stage_fn=stage_fn, attempt_fn=attempt_fn))
+        rhs, st, 1e9, params, stage_fn=stage_fn, attempt_fn=attempt_fn))
 
     w_dev = jnp.asarray(w0, dtype)
     if use_fused:
@@ -233,22 +241,22 @@ def bench_freezing(args, grid_nodes=None, calc_mode=0):
             from porousfreezethaw_tpu.parallel.fused import padded_sharding
             w_dev = jax.device_put(w_dev, padded_sharding(mesh))
     state = merson_init(w_dev, 0.0, min(pf.vars["tau"], 1e-4))
-    log(f"compiling + warming {warm} attempted steps into the stepping "
-        f"regime...")
+    log(f"compiling + warming >= {warm} attempted steps into the stepping "
+        f"regime ({steps} per solver call)...")
     t0 = time.time()
-    state, _ = solve_warm(state)
-    jax.block_until_ready(state.y)
+    for _ in range(max(1, -(-warm // steps))):
+        state, _ = solve(state)
+    # fetch a scalar to really synchronize (block_until_ready can return
+    # early through the remote-TPU tunnel)
     t_sim = float(state.t)
     log(f"warmup done in {time.time()-t0:.1f}s "
         f"({int(state.steps)}/{int(state.steps_total)} steps, "
-        f"t={t_sim:.4f}s sim)")
+        f"t={t_sim:.4f}s sim, h={float(state.h):.3e})")
 
     log(f"timing {steps} attempted steps (sustained)...")
     t0 = time.time()
     before = int(state.steps_total)
     state, _ = solve(state)
-    # fetch a scalar to really synchronize (block_until_ready can return
-    # early through the remote-TPU tunnel)
     done = int(state.steps_total) - before
     wall = time.time() - t0
 

@@ -245,8 +245,11 @@ def run_iteration(
     # f32 production runs enable the noise-floor escape: the f32
     # stage-state rounding puts an h-independent floor under the Merson
     # error estimate that can pin h at the controller's growth fixed
-    # point (eps = 0.328 delta); f64 keeps the exact reference rule
-    growth_min = 1.05 if np.dtype(dtype) == np.float32 else 0.0
+    # point (eps = 0.328 delta); f64 keeps the exact reference rule.
+    # Overridable as a Params variable (`accept_growth_min 0` restores
+    # the exact reference step-control rule for f32 diagnostics too).
+    default_growth = 1.05 if np.dtype(dtype) == np.float32 else 0.0
+    growth_min = float(pf.vars.get("accept_growth_min", default_growth))
     mparams = MersonParams(delta=delta, h_min=tau_min,
                            accept_growth_min=growth_min)
     if growth_min:
@@ -270,8 +273,16 @@ def run_iteration(
         # larger chunks amortize the host round trip (the fused f32 path
         # runs ~4300 attempts/s at LR, so 256-step chunks would sync the
         # tunnel ~17x/s); only trigger-file latency grows with the chunk
-        chunk = int(os.environ.get(
-            "PFT_SERVICE_CHUNK", "1024" if platform != "cpu" else "256"))
+        try:
+            chunk = int(os.environ.get(
+                "PFT_SERVICE_CHUNK", "1024" if platform != "cpu" else "256"))
+        except ValueError:
+            raise SystemExit(
+                "PFT_SERVICE_CHUNK must be a positive integer, got "
+                f"{os.environ['PFT_SERVICE_CHUNK']!r}")
+        if chunk <= 0:
+            raise SystemExit(
+                f"PFT_SERVICE_CHUNK must be a positive integer, got {chunk}")
         cparams = _dc.replace(mparams, max_steps=chunk, record_trace=chunk)
         solve_chunk = jax.jit(
             lambda st, ft: merson_solve(rhs, st, ft, cparams,

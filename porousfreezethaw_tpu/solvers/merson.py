@@ -271,9 +271,13 @@ def merson_solve(
 
         if params.accept_growth_min > 1.0:
             # noise-floor escape (see MersonParams.accept_growth_min):
-            # accepted steps grow h by at least this factor; rejected
-            # steps keep the pure reference shrink
-            fac = jnp.where(accept,
+            # genuinely accepted steps (eps < delta) grow h by at least
+            # this factor; rejected steps and h_min-forced accepts
+            # (|h| < h_min with eps >= delta) keep the pure reference
+            # shrink — growing h on a step whose error already exceeds
+            # tolerance would make h oscillate around h_min instead of
+            # the reference's monotone shrink
+            fac = jnp.where(eps < delta,
                             jnp.maximum(fac, jnp.asarray(
                                 params.accept_growth_min, sdtype)),
                             fac)

@@ -364,6 +364,26 @@ class TestAcceptGrowthMin:
         assert float(st2.y[0]) == pytest.approx(1.0, abs=1e-4)
         assert float(st.y[0]) == pytest.approx(1.0, abs=1e-4)
 
+    def test_no_growth_on_forced_accepts(self):
+        # an h_min-forced accept (|h| < h_min with eps >= delta) must NOT
+        # be floored up: the reference shrinks h monotonically there and
+        # growing it would oscillate h around h_min.  A constant huge
+        # error keeps every step at eps >> delta; starting below h_min
+        # every step is a forced accept with fac = 0.8*(delta/eps)^0.2
+        # < 1 — so with the floor active h must still shrink every step.
+        big = 1e6
+        rng = np.random.RandomState(1)
+        om = jnp.asarray(1e9 * (1.0 + rng.rand(16)))
+        f = lambda t, y: big * jnp.sin(om * t)
+        params = MersonParams(delta=1e-3, h_min=1e-2, max_steps=50,
+                              accept_growth_min=1.05)
+        state = merson_init(jnp.zeros(16, jnp.float64), 0.0, 1e-3)
+        st, status = jax.jit(
+            lambda s: merson_solve(f, s, 1e9, params))(state)
+        # every attempt was a forced accept; h only ever shrank
+        assert int(st.steps) == int(st.steps_total) == 50
+        assert float(jnp.abs(st.h)) < 1e-3
+
     def test_no_effect_when_error_dominates(self):
         # smooth stiff-ish problem, estimator is true-error dominated:
         # the floor may add a few rejects but must not change the
