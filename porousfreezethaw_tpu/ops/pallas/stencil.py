@@ -84,24 +84,41 @@ def flat_extent(geom: GridGeometry) -> int:
     return (geom.n2 * geom.n1 + _TILE - 1) // _TILE * _TILE
 
 
-def padded_shape(geom: GridGeometry, layout: str = DEFAULT_LAYOUT):
+# The freezing state has 3 variables (u, p, gl — model.c:32-40) but the
+# glass field gl is STATIC (dgl/dt = 0, equation.c: gl is precalculated
+# once): K buffers carry only the 2 dynamic variables, which cuts the
+# HBM traffic of every K write and every stage-combination K read by a
+# third.  The state w keeps all 3 (the stencil needs gl for the material
+# blends every stage).
+N_VARS = 3
+K_VARS = 2
+
+
+def padded_shape(geom: GridGeometry, layout: str = DEFAULT_LAYOUT,
+                 nv: int = N_VARS):
     if layout == "flat":
         # planes flattened then folded into lane rows: (rows, 128) keeps
         # Mosaic's (sublane, lane) tiling aligned
-        return (3, geom.n3, flat_extent(geom) // _LANES, _LANES)
+        return (nv, geom.n3, flat_extent(geom) // _LANES, _LANES)
     Yp, Xp = padded_extents(geom)
-    return (3, geom.n3, Yp, Xp)
+    return (nv, geom.n3, Yp, Xp)
+
+
+def padded_k_shape(geom: GridGeometry, layout: str = DEFAULT_LAYOUT):
+    """Padded layout of a K (stage-derivative) array: dynamic vars only."""
+    return padded_shape(geom, layout, nv=K_VARS)
 
 
 def pad_state(w: jax.Array, geom: GridGeometry,
               layout: str = DEFAULT_LAYOUT) -> jax.Array:
-    """(3, Z, Y, X) -> padded kernel layout, edge-replicated pad."""
+    """(nv, Z, Y, X) -> padded kernel layout, edge-replicated pad."""
+    nv = w.shape[0]
     if layout == "flat":
         P = flat_extent(geom)
-        flat = w.reshape(3, geom.n3, geom.n2 * geom.n1)
+        flat = w.reshape(nv, geom.n3, geom.n2 * geom.n1)
         flat = jnp.pad(flat, ((0, 0), (0, 0), (0, P - flat.shape[2])),
                        mode="edge")
-        return flat.reshape(3, geom.n3, P // _LANES, _LANES)
+        return flat.reshape(nv, geom.n3, P // _LANES, _LANES)
     Yp, Xp = padded_extents(geom)
     return jnp.pad(w, ((0, 0), (0, 0), (0, Yp - geom.n2), (0, Xp - geom.n1)),
                    mode="edge")
@@ -109,11 +126,12 @@ def pad_state(w: jax.Array, geom: GridGeometry,
 
 def unpad_state(w: jax.Array, geom: GridGeometry,
                 layout: str = DEFAULT_LAYOUT) -> jax.Array:
+    nv = w.shape[0]
     if w.shape[2:] == (flat_extent(geom) // _LANES, _LANES) and \
             w.shape[2:] != (geom.n2, geom.n1):
-        flat = w.reshape(3, geom.n3, -1)
+        flat = w.reshape(nv, geom.n3, -1)
         return flat[:, :, :geom.n2 * geom.n1].reshape(
-            3, geom.n3, geom.n2, geom.n1)
+            nv, geom.n3, geom.n2, geom.n1)
     return w[:, :, :geom.n2, :geom.n1]
 
 
@@ -179,12 +197,12 @@ def _compute_rhs(mode: CalcMode, prm: FreezingParams, coeffs, geom,
 # ---------------------------------------------------------------------------
 
 def _pick_bz(geom: GridGeometry, n_inputs: int, layout: str,
-             vmem_budget=15 * 2**20) -> int:
+             vmem_budget=15 * 2**20, kvars: int = K_VARS) -> int:
     """Largest z-block whose *scoped* VMEM footprint fits the 16 MB
     Mosaic stack limit.  Model (in single-variable planes, validated
     against compile-time OOM reports at the HR grid): explicit scratch
-    slabs ``3*n_inputs*(bz+2)`` + ~24*bz for the neighbor-dict / RHS
-    intermediates + ~12 fixed."""
+    slabs — the 3-variable ``w`` plus ``kvars`` planes per K input —
+    + ~24*bz for the neighbor-dict / RHS intermediates + ~12 fixed."""
     if layout == "flat":
         vplane = flat_extent(geom) * 4
     else:
@@ -193,7 +211,7 @@ def _pick_bz(geom: GridGeometry, n_inputs: int, layout: str,
     for bz in (16, 8, 4, 2, 1):
         if geom.n3 % bz:
             continue
-        planes = 3 * n_inputs * (bz + 2) + 24 * bz + 12
+        planes = (3 + kvars * (n_inputs - 1)) * (bz + 2) + 24 * bz + 12
         if planes * vplane <= vmem_budget:
             return bz
     return 1
@@ -207,7 +225,7 @@ _BUDGET_SCALE: Dict[tuple, float] = {}
 
 
 def _validated_budget(geom: GridGeometry, layout: str, probe,
-                      kind: str) -> int:
+                      kind: str, kvars: int = K_VARS) -> int:
     """Return a VMEM budget for ``_pick_bz`` such that ``probe(bz)`` —
     an AOT compile of the builder's heaviest kernel variant (the stage-5 /
     tail kernel, 4 input slabs) — succeeds at the budget's pick.  Probes
@@ -218,7 +236,8 @@ def _validated_budget(geom: GridGeometry, layout: str, probe,
         return int(base * _BUDGET_SCALE[key])
     scale = 1.0
     while scale >= 1.0 / 64.0:
-        bz = _pick_bz(geom, 4, layout, vmem_budget=int(base * scale))
+        bz = _pick_bz(geom, 4, layout, vmem_budget=int(base * scale),
+                      kvars=kvars)
         try:
             probe(bz)
         except Exception:
@@ -234,29 +253,29 @@ def _validated_budget(geom: GridGeometry, layout: str, probe,
 
 
 def _make_neighbors(geom: GridGeometry, layout: str):
-    """Neighbor extraction on a VMEM slab ``aux`` with valid z ghost
-    planes: returns ``neighbors(aux, last_block, bz_) -> (dict, valid)``."""
+    """Neighbor extraction on per-variable VMEM slabs with valid z ghost
+    planes: returns ``neighbors(fields, last_block, bz_) -> (dict, valid)``
+    where ``fields`` maps "u"/"p"/"gl" to a ``(bz+2,) + plane`` slab."""
     Y0, X0 = geom.n2, geom.n1
 
-    def neighbors_block(aux, last_block, bz_):
-        """aux: (3, bz+2, Yp, Xp) with valid z ghosts."""
+    def neighbors_block(fields, last_block, bz_):
+        """fields: (bz+2, Yp, Xp) slabs with valid z ghosts."""
         C = slice(1, bz_ + 1)
 
         def shift(f, axis, d):
-            true_n = Y0 if axis == 1 else X0
-            s = jnp.roll(f, -d, axis)
-            idx = lax.broadcasted_iota(jnp.int32, f.shape, axis)
+            true_n = Y0 if axis == 0 else X0
+            s = jnp.roll(f, -d, axis + 1)
+            idx = lax.broadcasted_iota(jnp.int32, f.shape, axis + 1)
             edge = idx == (true_n - 1 if d > 0 else 0)
             return jnp.where(edge, f, s)
 
         out = {}
-        for q, name in enumerate(("u", "p", "gl")):
-            f = aux[q]
+        for name, f in fields.items():
             out[name] = f[C]
-            out[name + "xm"] = shift(f, 2, -1)[C]
-            out[name + "xp"] = shift(f, 2, +1)[C]
-            out[name + "ym"] = shift(f, 1, -1)[C]
-            out[name + "yp"] = shift(f, 1, +1)[C]
+            out[name + "xm"] = shift(f, 1, -1)[C]
+            out[name + "xp"] = shift(f, 1, +1)[C]
+            out[name + "ym"] = shift(f, 0, -1)[C]
+            out[name + "yp"] = shift(f, 0, +1)[C]
             out[name + "zm"] = f[0:bz_]
             out[name + "zp"] = f[2:bz_ + 2]
         yi = lax.broadcasted_iota(jnp.int32, out["u"].shape, 1)
@@ -264,14 +283,14 @@ def _make_neighbors(geom: GridGeometry, layout: str):
         valid = (yi < Y0) & (xi < X0)
         return out, valid
 
-    def neighbors_flat(aux, last_block, bz_):
-        """aux: (3, bz+2, R, 128): flattened planes folded into lane rows,
-        valid z ghosts.  A flat offset d decomposes into a lane roll by
-        d%128 plus a row roll, with the row roll one deeper for lanes that
-        wrap (carry-aware double roll)."""
+    def neighbors_flat(fields, last_block, bz_):
+        """fields: (bz+2, R, 128) slabs — flattened planes folded into lane
+        rows, valid z ghosts.  A flat offset d decomposes into a lane roll
+        by d%128 plus a row roll, with the row roll one deeper for lanes
+        that wrap (carry-aware double roll)."""
         C = slice(1, bz_ + 1)
-        R = aux.shape[2]
-        shape3 = (bz_ + 2, R, _LANES)
+        R = next(iter(fields.values())).shape[1]
+        shape3 = (next(iter(fields.values())).shape[0], R, _LANES)
         row = lax.broadcasted_iota(jnp.int32, shape3, 1)
         lane = lax.broadcasted_iota(jnp.int32, shape3, 2)
         flat = row * _LANES + lane
@@ -298,8 +317,7 @@ def _make_neighbors(geom: GridGeometry, layout: str):
         x_lo, x_hi = x == 0, x == X0 - 1
         y_lo, y_hi = y == 0, y >= Y0 - 1
         out = {}
-        for q, name in enumerate(("u", "p", "gl")):
-            f = aux[q]
+        for name, f in fields.items():
             out[name] = f[C]
             out[name + "xm"] = shift(f, -1, x_lo)[C]
             out[name + "xp"] = shift(f, +1, x_hi)[C]
@@ -343,7 +361,8 @@ def make_fused_stage(geom: GridGeometry, params: FreezingParams,
     Z = n3_local or geom.n3
     import dataclasses as _dc
     geom_local = _dc.replace(geom, n3=Z) if n3_local else geom
-    kshape = (3, Z) + padded_shape(geom, layout)[2:]
+    kshape = (N_VARS, Z) + padded_shape(geom, layout)[2:]
+    kvshape = (K_VARS, Z) + padded_shape(geom, layout)[2:]
     neighbors = _make_neighbors(geom, layout)
     n_ghost = 2 if shard_ghosts else 0
 
@@ -357,11 +376,18 @@ def make_fused_stage(geom: GridGeometry, params: FreezingParams,
         interior pass (input_output_aliases, no copy).  The reference
         documents why the exchange must live inside the RHS and its
         timing consequence (include/RK_MPI_SAsolver.h:112-148,161-169);
-        the split is the TPU-native overlap it could not do."""
+        the split is the TPU-native overlap it could not do.
+
+        Outputs: the plain stage writes K (K_VARS dynamic variables only
+        — gl is static, K_gl == 0 identically, so it is never stored);
+        stage5 writes (y_spec, eps_blocks) and no K5 at all: K5 only
+        feeds the error estimate and the update, both computed here in
+        VMEM."""
         nb = Z // bz_
-        scratch_shape = (3, bz_ + 2) + kshape[2:]
-        block_shape = (3, bz_) + kshape[2:]
-        n_out = 3 if stage5 else 1
+        w_scratch = (N_VARS, bz_ + 2) + kshape[2:]
+        k_scratch = (K_VARS, bz_ + 2) + kshape[2:]
+        k_block = (K_VARS, bz_) + kshape[2:]
+        n_out = 2 if stage5 else 1
         use_ghosts = n_ghost if part in ("all", "edge") and shard_ghosts \
             else 0
         n_prev = n_out if part == "edge" else 0   # aliased carry inputs
@@ -375,7 +401,6 @@ def make_fused_stage(geom: GridGeometry, params: FreezingParams,
             # aliased prev inputs (edge): same buffers as outs — unused
             outs = refs[nk + 1 + use_ghosts + n_prev:
                         nk + 1 + use_ghosts + n_prev + n_out]
-            out_ref = outs[0]
             scratch = refs[nk + 1 + use_ghosts + n_prev + n_out:-1]
             sems = refs[-1]
             # int32 index arithmetic: under x64 the DMA slice offsets
@@ -413,20 +438,28 @@ def make_fused_stage(geom: GridGeometry, params: FreezingParams,
             if use_ghosts:
                 # shard-boundary planes come from the caller (neighbor
                 # ppermute or physical BC): overwrite the clamped edge
-                # plane of each input slab before combining
+                # plane of each input slab before combining.  The ghost
+                # stack carries 3 planes per input for a uniform shape;
+                # K slabs take only the K_VARS dynamic ones.
                 @pl.when(bi == 0)
                 def _():
-                    for a in range(nk + 1):
-                        scratch[a][:, 0] = ghosts[0][a]
+                    scratch[0][:, 0] = ghosts[0][0]
+                    for a in range(nk):
+                        scratch[1 + a][:, 0] = ghosts[0][1 + a, :K_VARS]
 
                 @pl.when(last)
                 def _():
-                    for a in range(nk + 1):
-                        scratch[a][:, bz_ + 1] = ghosts[1][a]
+                    scratch[0][:, bz_ + 1] = ghosts[1][0]
+                    for a in range(nk):
+                        scratch[1 + a][:, bz_ + 1] = \
+                            ghosts[1][1 + a, :K_VARS]
 
-            aux = scratch[0][:]
+            # stage combination over the dynamic variables; gl is static
+            # (aux_gl = w_gl exactly: K_gl == 0)
+            aux = scratch[0][:K_VARS]
             for a in range(nk):
                 aux = aux + (h * scal_ref[0, 2 + a]) * scratch[1 + a][:]
+            gls = scratch[0][K_VARS]
 
             if not shard_ghosts:
                 # Dirichlet top BC on u: overwrite the combined last ghost
@@ -439,12 +472,13 @@ def make_fused_stage(geom: GridGeometry, params: FreezingParams,
                 aux = jnp.where(last & (plane == bz_ + 1) & (var == 0),
                                 D, aux)
 
-            n, valid = neighbors(aux, last, bz_)
+            fields = {"u": aux[0], "p": aux[1], "gl": gls}
+            n, valid = neighbors(fields, last, bz_)
             du, dp = _compute_rhs(mode, prm, coeffs, geom, n)
             zero = jnp.zeros_like(du)
             k_out = jnp.stack([jnp.where(valid, du, zero),
-                               jnp.where(valid, dp, zero),
-                               zero]).astype(jnp.float32)
+                               jnp.where(valid, dp, zero)]).astype(
+                                   jnp.float32)
 
             if stage5:
                 # Merson tail, all in VMEM (the K's of this stage's
@@ -458,44 +492,40 @@ def make_fused_stage(geom: GridGeometry, params: FreezingParams,
                 k4c = scratch[3][:, C]
                 err = (0.2 * k1c - 0.9 * k3c + 0.8 * k4c - 0.1 * k_out)
                 eps = jnp.max(jnp.abs(err))
-                y_out = scratch[0][:, C] + (h / 3.0) * (
+                y_out = scratch[0][:K_VARS, C] + (h / 3.0) * (
                     0.5 * (k1c + k_out) + 2.0 * k4c)
+                main_out = y_out
+            else:
+                main_out = k_out
 
             if part == "edge":
                 # aliased ANY outputs: write this program's block by DMA
                 # (the FusedAttempt-tail pattern), leaving the interior
                 # pass's blocks in place
                 nbuf = nk + 1
-                kbuf = scratch[nbuf]
-                kbuf[:] = k_out
+                mbuf = scratch[nbuf]
+                mbuf[:] = main_out
                 wr = [pltpu.make_async_copy(
-                    kbuf, outs[0].at[:, pl.ds(bi * bz_, bz_)],
+                    mbuf, outs[0].at[:, pl.ds(bi * bz_, bz_)],
                     sems.at[3 * (nk + 1)])]
                 if stage5:
-                    ybuf = scratch[nbuf + 1]
-                    ybuf[:] = y_out
-                    wr.append(pltpu.make_async_copy(
-                        ybuf, outs[1].at[:, pl.ds(bi * bz_, bz_)],
-                        sems.at[3 * (nk + 1) + 1]))
-                    ebuf = scratch[nbuf + 2]
+                    ebuf = scratch[nbuf + 1]
                     ebuf[:] = jnp.broadcast_to(eps, ebuf.shape)
                     wr.append(pltpu.make_async_copy(
-                        ebuf, outs[2].at[bi], sems.at[3 * (nk + 1) + 2]))
+                        ebuf, outs[1].at[bi], sems.at[3 * (nk + 1) + 1]))
                 for c in wr:
                     c.start()
                 for c in wr:
                     c.wait()
             else:
-                out_ref[:] = k_out
+                outs[0][:] = main_out
                 if stage5:
-                    outs[2][:] = jnp.broadcast_to(eps, outs[2].shape)
-                    outs[1][:] = y_out
+                    outs[1][:] = jnp.broadcast_to(eps, outs[1].shape)
 
         ndim_tail = len(kshape) - 2
         if part == "edge":
             out_specs = [pl.BlockSpec(memory_space=pltpu.ANY)] * n_out
-            out_shapes = [jax.ShapeDtypeStruct(kshape, jnp.float32)] * \
-                min(n_out, 2)
+            out_shapes = [jax.ShapeDtypeStruct(kvshape, jnp.float32)]
             if stage5:
                 out_shapes.append(jax.ShapeDtypeStruct((nb, 8, _LANES),
                                                        jnp.float32))
@@ -506,12 +536,10 @@ def make_fused_stage(geom: GridGeometry, params: FreezingParams,
             bmap = ((lambda i: (0, i + 1) + (0,) * ndim_tail)
                     if part == "interior"
                     else (lambda i: (0, i) + (0,) * ndim_tail))
-            out_specs = [pl.BlockSpec(block_shape, bmap,
+            out_specs = [pl.BlockSpec(k_block, bmap,
                                       memory_space=pltpu.VMEM)]
-            out_shapes = [jax.ShapeDtypeStruct(kshape, jnp.float32)]
+            out_shapes = [jax.ShapeDtypeStruct(kvshape, jnp.float32)]
             if stage5:
-                out_specs.append(out_specs[0])
-                out_shapes.append(out_shapes[0])
                 emap = ((lambda i: (i + 1, 0, 0)) if part == "interior"
                         else (lambda i: (i, 0, 0)))
                 out_specs.append(pl.BlockSpec((1, 8, _LANES), emap,
@@ -522,12 +550,11 @@ def make_fused_stage(geom: GridGeometry, params: FreezingParams,
         extra_scratch = []
         n_sems = 3 * (nk + 1)
         if part == "edge":
-            extra_scratch.append(pltpu.VMEM(block_shape, jnp.float32))
+            extra_scratch.append(pltpu.VMEM(k_block, jnp.float32))
             n_sems += 1
             if stage5:
-                extra_scratch.append(pltpu.VMEM(block_shape, jnp.float32))
                 extra_scratch.append(pltpu.VMEM((8, _LANES), jnp.float32))
-                n_sems += 2
+                n_sems += 1
         return pl.pallas_call(
             kernel,
             grid=(n_prog,),
@@ -537,8 +564,8 @@ def make_fused_stage(geom: GridGeometry, params: FreezingParams,
             + [pl.BlockSpec(memory_space=pltpu.ANY)] * n_prev,
             out_specs=out_specs if n_out > 1 else out_specs[0],
             out_shape=out_shapes if n_out > 1 else out_shapes[0],
-            scratch_shapes=[pltpu.VMEM(scratch_shape, jnp.float32)
-                            for _ in range(nk + 1)]
+            scratch_shapes=[pltpu.VMEM(w_scratch, jnp.float32)]
+            + [pltpu.VMEM(k_scratch, jnp.float32) for _ in range(nk)]
             + extra_scratch
             + [pltpu.SemaphoreType.DMA((n_sems,))],
             input_output_aliases=io_aliases,
@@ -559,8 +586,9 @@ def make_fused_stage(geom: GridGeometry, params: FreezingParams,
             else:
                 def probe(bz_):
                     call = build_call(3, bz_, stage5=True)
-                    args = ([jax.ShapeDtypeStruct((1, 5), jnp.float32)]
-                            + [jax.ShapeDtypeStruct(kshape, jnp.float32)] * 4
+                    args = ([jax.ShapeDtypeStruct((1, 5), jnp.float32),
+                             jax.ShapeDtypeStruct(kshape, jnp.float32)]
+                            + [jax.ShapeDtypeStruct(kvshape, jnp.float32)] * 3
                             + [jax.ShapeDtypeStruct((4, 3) + kshape[2:],
                                                     jnp.float32)] * n_ghost)
                     with jax.enable_x64(False):
@@ -578,6 +606,11 @@ def make_fused_stage(geom: GridGeometry, params: FreezingParams,
             raise ValueError(
                 f"fused stage expects the padded {layout!r} layout {kshape} "
                 f"(see pad_state), got {w.shape}")
+        for _, k in ks:
+            if k.shape != kvshape:
+                raise ValueError(
+                    f"fused stage K inputs carry the {K_VARS} dynamic "
+                    f"variables only, {kvshape}; got {k.shape}")
         want_ghost = n_ghost if part != "interior" else 0
         if len(ghosts) != want_ghost:
             raise ValueError(
@@ -625,7 +658,7 @@ def make_fused_stage(geom: GridGeometry, params: FreezingParams,
         def stage_edge(t_stage, h, w, ks, ghost_lo, ghost_hi, prev,
                        stage5=False):
             """First/last z-blocks, written into the interior pass's
-            donated output buffers (``prev``: K [, y_spec, eps])."""
+            donated output buffers (``prev``: (K,) or (y_spec, eps))."""
             return _call(t_stage, h, w, ks, (ghost_lo, ghost_hi),
                          stage5=stage5, part="edge", prev=tuple(prev))
 
@@ -639,16 +672,29 @@ def make_fused_stage(geom: GridGeometry, params: FreezingParams,
         def stage5(t_stage, h, w, ks):
             """Fused Merson stage 5: ``ks`` must be the stage-5 combination
             ``[(0.5, K1), (-1.5, K3), (2.0, K4)]``.  Returns
-            ``(K5, y_spec, eps_blocks)`` where ``y_spec`` is the
-            speculative accepted state and ``max(eps_blocks)`` is the
-            max-norm error of the attempt — both computed in VMEM, saving
-            the separate error and update passes over HBM."""
+            ``(y_spec, eps_blocks)`` where ``y_spec`` is the speculative
+            accepted state over the K_VARS dynamic variables and
+            ``max(eps_blocks)`` is the max-norm error of the attempt —
+            both computed in VMEM, saving the separate error and update
+            passes over HBM.  K5 is never materialized: its only
+            consumers (error + update) live in this kernel."""
             if len(ks) != 3:
                 raise ValueError(
                     "stage5 takes the 3-term K1/K3/K4 combination")
             return _call(t_stage, h, w, ks, stage5=True)
 
+    def commit(y, y_spec, flag):
+        """Accepted-state select for the partial (K_VARS-variable)
+        ``y_spec``: writes the selected dynamic variables back into the
+        full state, leaving the static gl planes untouched (a static
+        update-slice XLA performs in place inside the solver loop)."""
+        sel = jnp.where(flag, y_spec, y[:K_VARS])
+        return lax.dynamic_update_slice(
+            y, sel.astype(y.dtype), (0,) * y.ndim)
+
     stage.stage5 = stage5
+    stage.commit = commit
+    stage.k_partial = True
     return stage
 
 
@@ -753,7 +799,8 @@ class FusedAttempt:
                 D = physics.dirichlet_top(t, prm).astype(aux.dtype)
                 aux = jnp.where(last & (plane == bz_ + 1) & (var == 0), D, aux)
 
-                n, valid = neighbors(aux, last, bz_)
+                fields = {"u": aux[0], "p": aux[1], "gl": aux[2]}
+                n, valid = neighbors(fields, last, bz_)
                 du, dp = _compute_rhs(mode, prm, coeffs, geom, n)
                 zero = jnp.zeros_like(du)
                 k_out = jnp.stack([jnp.where(valid, du, zero),
@@ -839,12 +886,15 @@ class FusedAttempt:
                         with jax.enable_x64(False):
                             jax.jit(c).lower(*args).compile()
                     budget_ref.append(
-                        _validated_budget(geom, layout, probe, "attempt"))
+                        _validated_budget(geom, layout, probe, "attempt",
+                                          kvars=3))
             return budget_ref[0]
 
         def call(t_stage, h, y2, cur, ks, tail=False):
             nk = len(ks)
-            bz_ = bz or _pick_bz(geom, nk + 1, layout, vmem_budget=_budget())
+            # the attempt pipeline still carries 3-variable K buffers
+            bz_ = bz or _pick_bz(geom, nk + 1, layout, vmem_budget=_budget(),
+                                 kvars=3)
             key = (nk, bz_, tail)
             if key not in self._calls:
                 self._calls[key] = build_call(nk, bz_, tail)

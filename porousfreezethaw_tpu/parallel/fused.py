@@ -54,7 +54,8 @@ def halo_bytes_per_attempt(geom: GridGeometry, layout: str = "flat",
 
     Each stage ppermutes the raw edge planes of w and every K entering
     its combination — stage K-counts (0, 1, 2, 3, 3) — one plane per
-    input per direction, 3 variables each.  The analytic overlap model:
+    input per direction: 3 variables for w, 2 (the dynamic u, p; gl is
+    static) for each K.  The analytic overlap model:
     with the interior/edge kernel split, this transfer runs concurrently
     with the interior stencil pass, so scaling stays compute-bound while
 
@@ -74,8 +75,9 @@ def halo_bytes_per_attempt(geom: GridGeometry, layout: str = "flat",
     else:
         yp, xp = padded_extents(geom)
         plane = yp * xp
-    stage_inputs = [1, 2, 3, 4, 4]          # w + K's per stage
-    return sum(stage_inputs) * 2 * 3 * plane * dtype_bytes
+    stage_k = [0, 1, 2, 3, 3]               # K's per stage (w always)
+    var_planes = sum(3 + 2 * nk for nk in stage_k)
+    return var_planes * 2 * plane * dtype_bytes
 
 
 def make_sharded_fused_stage(geom: GridGeometry, params: FreezingParams,
@@ -123,7 +125,7 @@ def make_sharded_fused_stage(geom: GridGeometry, params: FreezingParams,
     def build(coefs: tuple, stage5: bool):
         nk = len(coefs)
         eps_spec = P(axis_name, None, None)
-        out_specs = (spec, spec, eps_spec) if stage5 else spec
+        out_specs = (spec, eps_spec) if stage5 else spec
         in_specs = (scal, scal, spec) + (spec,) * nk
 
         @partial(shard_map, mesh=mesh, in_specs=in_specs,
@@ -131,9 +133,17 @@ def make_sharded_fused_stage(geom: GridGeometry, params: FreezingParams,
         def impl(t, h, w_l, *k_l):
             idx = lax.axis_index(axis_name)
             tf = jnp.asarray(t, jnp.float32)
-            # raw edge planes of every input: (nk+1, 3) + plane
-            lo = jnp.stack([w_l[:, 0]] + [k[:, 0] for k in k_l])
-            hi = jnp.stack([w_l[:, -1]] + [k[:, -1] for k in k_l])
+            # raw edge planes of every input, stacked (nk+1, 3) + plane:
+            # K planes carry only the 2 dynamic variables (gl static) —
+            # padded with a zero gl plane to keep the stack uniform (the
+            # kernel reads back only the dynamic ones)
+            zpl = jnp.zeros_like(w_l[2:3, 0])
+
+            def kpl(k, z):
+                return jnp.concatenate([k[:, z], zpl], axis=0)
+
+            lo = jnp.stack([w_l[:, 0]] + [kpl(k, 0) for k in k_l])
+            hi = jnp.stack([w_l[:, -1]] + [kpl(k, -1) for k in k_l])
             from_below = lax.ppermute(hi, axis_name, up)
             from_above = lax.ppermute(lo, axis_name, down)
 
@@ -186,5 +196,15 @@ def make_sharded_fused_stage(geom: GridGeometry, params: FreezingParams,
             raise ValueError("stage5 takes the 3-term K1/K3/K4 combination")
         return _call(t, h, w, ks, True)
 
+    def commit(y, y_spec, flag):
+        """Partial-state accepted-step select (see make_fused_stage): an
+        elementwise select + static update-slice, GSPMD-partitioned over
+        the mesh like the state itself."""
+        sel = jnp.where(flag, y_spec, y[:2])
+        return lax.dynamic_update_slice(y, sel.astype(y.dtype),
+                                        (0,) * y.ndim)
+
     stage.stage5 = stage5
+    stage.commit = commit
+    stage.k_partial = True
     return stage

@@ -159,10 +159,13 @@ def merson_solve(
     a fused implementation (e.g. the Pallas stage+stencil kernel in
     ops/pallas/stencil.py) that avoids materializing the combination.
     If ``stage_fn`` exposes a ``.stage5`` attribute (the fully-fused Merson
-    tail: ``(K5, y_spec, eps_blocks)``), the error estimate and the
+    tail: ``(y_spec, eps_blocks)``), the error estimate and the
     accepted-state update are taken from the kernel instead of separate
     passes over HBM — used whenever ``eps_mult`` is None (per-leaf error
-    multipliers require the generic reduction).
+    multipliers require the generic reduction).  If it also exposes
+    ``.commit(y, y_spec, flag)``, ``y_spec`` may cover only part of the
+    state (static variables elided from the K arrays) and the commit
+    writes it back in place.
 
     ``attempt_fn`` (e.g. ops.pallas.stencil.FusedAttempt) subsumes
     ``stage_fn`` entirely: the whole 5-stage attempt runs as a
@@ -192,6 +195,15 @@ def merson_solve(
     if attempt_fn is not None and eps_mult is not None:
         raise ValueError("eps_mult is not supported with attempt_fn")
     stage5_fn = getattr(stage_fn, "stage5", None) if eps_mult is None else None
+    # stage_fns whose K arrays cover only part of the state (the fused
+    # freezing kernels drop the static gl variable from every K) provide
+    # .commit to write the partial speculative update back into the full
+    # state; they cannot run without their stage-5 tail
+    commit_fn = getattr(stage_fn, "commit", None)
+    if getattr(stage_fn, "k_partial", False) and stage5_fn is None:
+        raise ValueError(
+            "this stage_fn emits partial-state K arrays and requires its "
+            ".stage5 tail (eps_mult is unsupported with it)")
 
     if eps_mult is None:
         eps_mult = tree_util.tree_map(lambda _: jnp.asarray(1.0, dtype), state.y)
@@ -239,7 +251,7 @@ def merson_solve(
             K3 = stage_fn(t + h3, h, y, [(1.0 / 6.0, K1), (1.0 / 6.0, K2)])
             K4 = stage_fn(t + h2, h, y, [(1.0 / 8.0, K1), (3.0 / 8.0, K3)])
             if stage5_fn is not None:
-                K5, y_spec, eps_blocks = stage5_fn(
+                y_spec, eps_blocks = stage5_fn(
                     t + h, h, y, [(0.5, K1), (-1.5, K3), (2.0, K4)])
             else:
                 K5 = stage_fn(t + h, h, y, [(0.5, K1), (-1.5, K3), (2.0, K4)])
@@ -287,6 +299,10 @@ def merson_solve(
         do_update = accept & ~nan_occurred
         if carry_spec is not None:
             y_new = attempt_fn.commit(carry_spec, do_update)
+        elif y_spec is not None and commit_fn is not None:
+            # partial-state speculative update: the stage_fn writes its
+            # K_VARS dynamic variables back into the full state in place
+            y_new = commit_fn(y, y_spec, do_update)
         elif y_spec is not None:
             # jnp.where, not lax.cond: measured on v5e, the select fuses
             # into the surrounding pipeline (0.72 ms/attempt at MR) while

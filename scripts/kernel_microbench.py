@@ -41,8 +41,10 @@ def main():
                         int(pf.vars["n3"]))
     prm = shift_temperature_origin(prm, prm.u_star)
     stage = make_fused_stage(geom, prm, calc_mode=0)
-    kshape = padded_shape(geom)
-    nbytes = int(np.prod(kshape)) * 4
+    from porousfreezethaw_tpu.ops.pallas.stencil import padded_k_shape
+    kshape = padded_k_shape(geom)
+    nbytes = int(np.prod(padded_shape(geom))) * 4
+    vb = nbytes // 3   # bytes of one variable's planes
     print(f"grid {geom.n1}x{geom.n2}x{geom.n3}, state {nbytes/2**20:.1f} MiB",
           file=sys.stderr)
 
@@ -54,34 +56,42 @@ def main():
     k = [jnp.asarray(0.01 * rng.standard_normal(kshape), jnp.float32)
          for _ in range(4)]
 
+    # each case takes (w, t): the per-iteration t defeats CSE inside the
+    # timing loop (kernels on one core serialize regardless)
     cases = {
-        "K1 (nk=0)": lambda w_: stage(0.0, 1e-6, w_, []),
-        "K2 (nk=1)": lambda w_: stage(0.0, 1e-6, w_, [(1 / 3, k[0])]),
-        "K3 (nk=2)": lambda w_: stage(0.0, 1e-6, w_,
-                                      [(1 / 6, k[0]), (1 / 6, k[1])]),
-        "K4 (nk=2)": lambda w_: stage(0.0, 1e-6, w_,
-                                      [(1 / 8, k[0]), (3 / 8, k[2])]),
-        "K5 plain (nk=3)": lambda w_: stage(
-            0.0, 1e-6, w_, [(0.5, k[0]), (-1.5, k[2]), (2.0, k[3])]),
-        "stage5 fused tail": lambda w_: stage.stage5(
-            0.0, 1e-6, w_, [(0.5, k[0]), (-1.5, k[2]), (2.0, k[3])])[1],
+        "K1 (nk=0)": lambda w_, t: stage(t, 1e-6, w_, []),
+        "K2 (nk=1)": lambda w_, t: stage(t, 1e-6, w_, [(1 / 3, k[0])]),
+        "K3 (nk=2)": lambda w_, t: stage(t, 1e-6, w_,
+                                         [(1 / 6, k[0]), (1 / 6, k[1])]),
+        "K4 (nk=2)": lambda w_, t: stage(t, 1e-6, w_,
+                                         [(1 / 8, k[0]), (3 / 8, k[2])]),
+        "K5 plain (nk=3)": lambda w_, t: stage(
+            t, 1e-6, w_, [(0.5, k[0]), (-1.5, k[2]), (2.0, k[3])]),
+        "stage5 fused tail": lambda w_, t: stage.stage5(
+            t, 1e-6, w_, [(0.5, k[0]), (-1.5, k[2]), (2.0, k[3])])[0],
     }
+    # minimum HBM traffic in single-variable planes: w is 3 vars, every K
+    # read/write is 2 (gl static)
     traffic = {
-        "K1 (nk=0)": 2 * nbytes,
-        "K2 (nk=1)": 3 * nbytes,
-        "K3 (nk=2)": 4 * nbytes,
-        "K4 (nk=2)": 4 * nbytes,
-        "K5 plain (nk=3)": 5 * nbytes,
-        "stage5 fused tail": 6 * nbytes,  # +y_spec write (eps negligible)
+        "K1 (nk=0)": 5 * vb,
+        "K2 (nk=1)": 7 * vb,
+        "K3 (nk=2)": 9 * vb,
+        "K4 (nk=2)": 9 * vb,
+        "K5 plain (nk=3)": 11 * vb,
+        "stage5 fused tail": 11 * vb,  # y_spec write, no K5 (eps negligible)
     }
 
     def chain(fn):
-        # serialize iters dependent executions of the kernel
+        # serialize iters dependent executions: each iteration's t reads
+        # one element of the previous output, so the chain cannot be
+        # reordered or CSE'd and costs nothing beyond the kernel itself
         def run(w_):
-            def body(i, acc):
-                return fn(acc)
             from jax import lax
-            return lax.fori_loop(0, args.iters, body, w_)
+
+            def body(i, acc):
+                t = 1e-12 * acc.reshape(-1)[0]
+                return fn(w_, t)
+            return lax.fori_loop(0, args.iters, body, fn(w_, 0.0))
         return jax.jit(run)
 
     print(f"{'kernel':20s} {'ms':>8s} {'GB/s eff':>9s} {'bound ms':>9s} "

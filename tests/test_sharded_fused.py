@@ -14,7 +14,7 @@ import pytest
 
 from porousfreezethaw_tpu.core.grid import GridGeometry
 from porousfreezethaw_tpu.ops.pallas.stencil import (
-    make_fused_stage, pad_state, unpad_state)
+    make_fused_stage, pad_state, padded_k_shape, unpad_state)
 from porousfreezethaw_tpu.parallel.fused import (
     make_sharded_fused_stage, padded_sharding)
 from porousfreezethaw_tpu.parallel.sharding import make_mesh
@@ -45,7 +45,8 @@ class TestStageEquivalence:
         geom, prm, w = case
         rng = np.random.RandomState(11)
         wp = pad_state(w, geom)
-        ks_np = [jnp.asarray(rng.standard_normal(wp.shape), jnp.float32)
+        kshape = padded_k_shape(geom)
+        ks_np = [jnp.asarray(rng.standard_normal(kshape), jnp.float32)
                  for _ in range(3)]
         single = make_fused_stage(geom, prm, calc_mode, interpret=True)
         mesh = make_mesh(mesh_spec)
@@ -57,11 +58,14 @@ class TestStageEquivalence:
         combo = [(0.5, ks_np[0]), (-1.5, ks_np[1]), (2.0, ks_np[2])]
         combo_s = [(c, put(k)) for c, k in combo]
 
-        a_k, a_y, a_eps = single.stage5(t, h, wp, combo)
-        b_k, b_y, b_eps = sharded.stage5(t, h, put(wp), combo_s)
-        assert np.array_equal(np.asarray(a_k), np.asarray(b_k))
+        a_y, a_eps = single.stage5(t, h, wp, combo)
+        b_y, b_eps = sharded.stage5(t, h, put(wp), combo_s)
         assert np.array_equal(np.asarray(a_y), np.asarray(b_y))
         assert float(jnp.max(a_eps)) == float(jnp.max(b_eps))
+        # the plain stage K's must agree bitwise too
+        a_k = single(t, h, wp, combo)
+        b_k = sharded(t, h, put(wp), combo_s)
+        assert np.array_equal(np.asarray(a_k), np.asarray(b_k))
 
     def test_stage1_dirichlet_switch(self, case):
         # t beyond phase_switch_time exercises the top_temp2 branch of
