@@ -197,12 +197,15 @@ def _compute_rhs(mode: CalcMode, prm: FreezingParams, coeffs, geom,
 # ---------------------------------------------------------------------------
 
 def _pick_bz(geom: GridGeometry, n_inputs: int, layout: str,
-             vmem_budget=15 * 2**20, kvars: int = K_VARS) -> int:
+             vmem_budget=15 * 2**20, kvars: int = K_VARS,
+             buffers: int = 1) -> int:
     """Largest z-block whose *scoped* VMEM footprint fits the 16 MB
     Mosaic stack limit.  Model (in single-variable planes, validated
     against compile-time OOM reports at the HR grid): explicit scratch
-    slabs — the 3-variable ``w`` plus ``kvars`` planes per K input —
-    + ~24*bz for the neighbor-dict / RHS intermediates + ~12 fixed."""
+    slabs — the 3-variable ``w`` plus ``kvars`` planes per K input,
+    times ``buffers`` (2 for the auto-pipelined kernel's double
+    buffering) — + ~24*bz for the neighbor-dict / RHS intermediates +
+    ~12 fixed."""
     if layout == "flat":
         vplane = flat_extent(geom) * 4
     else:
@@ -211,7 +214,8 @@ def _pick_bz(geom: GridGeometry, n_inputs: int, layout: str,
     for bz in (16, 8, 4, 2, 1):
         if geom.n3 % bz:
             continue
-        planes = (3 + kvars * (n_inputs - 1)) * (bz + 2) + 24 * bz + 12
+        planes = (buffers * (3 + kvars * (n_inputs - 1)) * (bz + 2)
+                  + 24 * bz + 12)
         if planes * vplane <= vmem_budget:
             return bz
     return 1
@@ -225,7 +229,8 @@ _BUDGET_SCALE: Dict[tuple, float] = {}
 
 
 def _validated_budget(geom: GridGeometry, layout: str, probe,
-                      kind: str, kvars: int = K_VARS) -> int:
+                      kind: str, kvars: int = K_VARS,
+                      buffers: int = 1) -> int:
     """Return a VMEM budget for ``_pick_bz`` such that ``probe(bz)`` —
     an AOT compile of the builder's heaviest kernel variant (the stage-5 /
     tail kernel, 4 input slabs) — succeeds at the budget's pick.  Probes
@@ -237,7 +242,7 @@ def _validated_budget(geom: GridGeometry, layout: str, probe,
     scale = 1.0
     while scale >= 1.0 / 64.0:
         bz = _pick_bz(geom, 4, layout, vmem_budget=int(base * scale),
-                      kvars=kvars)
+                      kvars=kvars, buffers=buffers)
         try:
             probe(bz)
         except Exception:
@@ -335,7 +340,7 @@ def make_fused_stage(geom: GridGeometry, params: FreezingParams,
                      calc_mode: int, *, bz: int = 0,
                      layout: str = DEFAULT_LAYOUT, interpret: bool = False,
                      vmem_limit_mb: int = 0, n3_local: int = 0,
-                     shard_ghosts: bool = False):
+                     shard_ghosts: bool = False, pipelined: bool = True):
     """Build ``stage(t_stage, h, w, ks) -> K`` where ``ks`` is a list of
     ``(coef, K_i)`` pairs entering the combination ``w + h*sum(c_i K_i)``.
     Operates on the padded ``layout`` (see pad_state/unpad_state).
@@ -365,6 +370,57 @@ def make_fused_stage(geom: GridGeometry, params: FreezingParams,
     kvshape = (K_VARS, Z) + padded_shape(geom, layout)[2:]
     neighbors = _make_neighbors(geom, layout)
     n_ghost = 2 if shard_ghosts else 0
+
+    def _core(scal_ref, slabs, last, bz_, nk, stage5):
+        """The stage arithmetic on VMEM slab *values* (shared by the
+        manual-DMA and the pipelined kernels): stage combination +
+        Dirichlet ghost + stencil RHS, and for stage5 the Merson tail.
+        ``slabs[0]`` is the (N_VARS, bz+2, ...) w slab, ``slabs[1..nk]``
+        the (K_VARS, bz+2, ...) K slabs, all with valid z ghost planes.
+        Returns (k_out, y_out, eps) — y_out/eps None unless stage5."""
+        t = scal_ref[0, 0]
+        h = scal_ref[0, 1]
+        # stage combination over the dynamic variables; gl is static
+        # (aux_gl = w_gl exactly: K_gl == 0)
+        aux = slabs[0][:K_VARS]
+        for a in range(nk):
+            aux = aux + (h * scal_ref[0, 2 + a]) * slabs[1 + a]
+        gls = slabs[0][K_VARS]
+
+        if not shard_ghosts:
+            # Dirichlet top BC on u: overwrite the combined last ghost
+            # plane (equation.c:113-185); in shard mode the ghost
+            # stack itself carries the BC (w ghost u-plane = D, K
+            # ghost u-planes = 0, so the combination is exactly D)
+            plane = lax.broadcasted_iota(jnp.int32, aux.shape, 1)
+            var = lax.broadcasted_iota(jnp.int32, aux.shape, 0)
+            D = physics.dirichlet_top(t, prm).astype(aux.dtype)
+            aux = jnp.where(last & (plane == bz_ + 1) & (var == 0),
+                            D, aux)
+
+        fields = {"u": aux[0], "p": aux[1], "gl": gls}
+        n, valid = neighbors(fields, last, bz_)
+        du, dp = _compute_rhs(mode, prm, coeffs, geom, n)
+        zero = jnp.zeros_like(du)
+        k_out = jnp.stack([jnp.where(valid, du, zero),
+                           jnp.where(valid, dp, zero)]).astype(jnp.float32)
+
+        if not stage5:
+            return k_out, None, None
+        # Merson tail, all in VMEM (the K's of this stage's combination
+        # ARE K1, K3, K4): the error estimate
+        # |0.2 K1 - 0.9 K3 + 0.8 K4 - 0.1 K5| (RK_Asolver.c:202-294)
+        # and the speculative accepted state
+        # w + (h/3)((K1+K5)/2 + 2 K4) (RK_MPI_SAsolver.c:559-572).
+        C = slice(1, bz_ + 1)
+        k1c = slabs[1][:, C]
+        k3c = slabs[2][:, C]
+        k4c = slabs[3][:, C]
+        err = (0.2 * k1c - 0.9 * k3c + 0.8 * k4c - 0.1 * k_out)
+        eps = jnp.max(jnp.abs(err))
+        y_out = slabs[0][:K_VARS, C] + (h / 3.0) * (
+            0.5 * (k1c + k_out) + 2.0 * k4c)
+        return k_out, y_out, eps
 
     def build_call(nk: int, bz_: int, stage5: bool = False,
                    part: str = "all"):
@@ -432,8 +488,6 @@ def make_fused_stage(geom: GridGeometry, params: FreezingParams,
             for c in copies:
                 c.wait()
 
-            t = scal_ref[0, 0]
-            h = scal_ref[0, 1]
             last = bi == nb - 1
             if use_ghosts:
                 # shard-boundary planes come from the caller (neighbor
@@ -454,49 +508,10 @@ def make_fused_stage(geom: GridGeometry, params: FreezingParams,
                         scratch[1 + a][:, bz_ + 1] = \
                             ghosts[1][1 + a, :K_VARS]
 
-            # stage combination over the dynamic variables; gl is static
-            # (aux_gl = w_gl exactly: K_gl == 0)
-            aux = scratch[0][:K_VARS]
-            for a in range(nk):
-                aux = aux + (h * scal_ref[0, 2 + a]) * scratch[1 + a][:]
-            gls = scratch[0][K_VARS]
-
-            if not shard_ghosts:
-                # Dirichlet top BC on u: overwrite the combined last ghost
-                # plane (equation.c:113-185); in shard mode the ghost
-                # stack itself carries the BC (w ghost u-plane = D, K
-                # ghost u-planes = 0, so the combination is exactly D)
-                plane = lax.broadcasted_iota(jnp.int32, aux.shape, 1)
-                var = lax.broadcasted_iota(jnp.int32, aux.shape, 0)
-                D = physics.dirichlet_top(t, prm).astype(aux.dtype)
-                aux = jnp.where(last & (plane == bz_ + 1) & (var == 0),
-                                D, aux)
-
-            fields = {"u": aux[0], "p": aux[1], "gl": gls}
-            n, valid = neighbors(fields, last, bz_)
-            du, dp = _compute_rhs(mode, prm, coeffs, geom, n)
-            zero = jnp.zeros_like(du)
-            k_out = jnp.stack([jnp.where(valid, du, zero),
-                               jnp.where(valid, dp, zero)]).astype(
-                                   jnp.float32)
-
-            if stage5:
-                # Merson tail, all in VMEM (the K's of this stage's
-                # combination ARE K1, K3, K4): the error estimate
-                # |0.2 K1 - 0.9 K3 + 0.8 K4 - 0.1 K5| (RK_Asolver.c:202-294)
-                # and the speculative accepted state
-                # w + (h/3)((K1+K5)/2 + 2 K4) (RK_MPI_SAsolver.c:559-572).
-                C = slice(1, bz_ + 1)
-                k1c = scratch[1][:, C]
-                k3c = scratch[2][:, C]
-                k4c = scratch[3][:, C]
-                err = (0.2 * k1c - 0.9 * k3c + 0.8 * k4c - 0.1 * k_out)
-                eps = jnp.max(jnp.abs(err))
-                y_out = scratch[0][:K_VARS, C] + (h / 3.0) * (
-                    0.5 * (k1c + k_out) + 2.0 * k4c)
-                main_out = y_out
-            else:
-                main_out = k_out
+            slabs = [scratch[a][:] for a in range(nk + 1)]
+            k_out, y_out, eps = _core(scal_ref, slabs, last, bz_, nk,
+                                      stage5)
+            main_out = y_out if stage5 else k_out
 
             if part == "edge":
                 # aliased ANY outputs: write this program's block by DMA
@@ -575,6 +590,94 @@ def make_fused_stage(geom: GridGeometry, params: FreezingParams,
             interpret=interpret,
         )
 
+    def build_call_pipe(nk: int, bz_: int, stage5: bool = False,
+                        part: str = "all"):
+        """Pipelined variant of ``build_call`` for parts 'all'/'interior':
+        every input arrives as a Pallas-blocked (center slab, prev plane,
+        next plane) triplet, so Mosaic's automatic pipelining
+        double-buffers the fetch of block i+1 behind the compute of
+        block i — the manual-DMA kernel stalls each grid program on its
+        slab transfer instead.  The prev/next plane block indices are
+        clamped at the domain edges, realizing the same free mirror BC.
+        Ghost-plane overwrites (shard mode) become masked selects on the
+        assembled slab values; arithmetic is otherwise ``_core``,
+        bitwise identical to the manual kernel."""
+        nb = Z // bz_
+        n_out = 2 if stage5 else 1
+        use_ghosts = n_ghost if part == "all" and shard_ghosts else 0
+        off = 1 if part == "interior" else 0
+        n_prog = nb if part == "all" else nb - 2
+        if part == "interior" and n_prog < 1:
+            raise ValueError("interior part needs nb >= 3")
+        ndim_tail = len(kshape) - 2
+        k_block = (K_VARS, bz_) + kshape[2:]
+
+        def kernel(scal_ref, *refs):
+            ins = refs[:3 * (nk + 1)]
+            ghosts = refs[3 * (nk + 1):3 * (nk + 1) + use_ghosts]
+            outs = refs[3 * (nk + 1) + use_ghosts:]
+            i = jnp.asarray(pl.program_id(0), jnp.int32)
+            bi = i + off
+            last = bi == nb - 1
+            slabs = []
+            for a in range(nk + 1):
+                cen = ins[3 * a][:]
+                prv = ins[3 * a + 1][:]
+                nxt = ins[3 * a + 2][:]
+                slab = jnp.concatenate([prv, cen, nxt], axis=1)
+                if use_ghosts:
+                    nv = slab.shape[0]
+                    pidx = lax.broadcasted_iota(jnp.int32, slab.shape, 1)
+                    glo = ghosts[0][a, :nv][:, None]
+                    ghi = ghosts[1][a, :nv][:, None]
+                    slab = jnp.where((bi == 0) & (pidx == 0), glo, slab)
+                    slab = jnp.where(last & (pidx == bz_ + 1), ghi, slab)
+                slabs.append(slab)
+            k_out, y_out, eps = _core(scal_ref, slabs, last, bz_, nk,
+                                      stage5)
+            outs[0][:] = y_out if stage5 else k_out
+            if stage5:
+                outs[1][:] = jnp.broadcast_to(eps, outs[1].shape)
+
+        zeros = (0,) * ndim_tail
+        in_specs = [pl.BlockSpec(memory_space=pltpu.SMEM)]
+        for a in range(nk + 1):
+            nv = N_VARS if a == 0 else K_VARS
+            in_specs += [
+                pl.BlockSpec((nv, bz_) + kshape[2:],
+                             lambda i: (0, i + off) + zeros,
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec(
+                    (nv, 1) + kshape[2:],
+                    lambda i: (0, jnp.maximum((i + off) * bz_ - 1, 0))
+                    + zeros, memory_space=pltpu.VMEM),
+                pl.BlockSpec(
+                    (nv, 1) + kshape[2:],
+                    lambda i: (0, jnp.minimum((i + off) * bz_ + bz_, Z - 1))
+                    + zeros, memory_space=pltpu.VMEM),
+            ]
+        out_specs = [pl.BlockSpec(k_block, lambda i: (0, i + off) + zeros,
+                                  memory_space=pltpu.VMEM)]
+        out_shapes = [jax.ShapeDtypeStruct(kvshape, jnp.float32)]
+        if stage5:
+            out_specs.append(pl.BlockSpec((1, 8, _LANES),
+                                          lambda i: (i + off, 0, 0),
+                                          memory_space=pltpu.VMEM))
+            out_shapes.append(jax.ShapeDtypeStruct((nb, 8, _LANES),
+                                                   jnp.float32))
+        return pl.pallas_call(
+            kernel,
+            grid=(n_prog,),
+            in_specs=in_specs
+            + [pl.BlockSpec(memory_space=pltpu.VMEM)] * use_ghosts,
+            out_specs=out_specs if n_out > 1 else out_specs[0],
+            out_shape=out_shapes if n_out > 1 else out_shapes[0],
+            compiler_params=(pltpu.CompilerParams(
+                vmem_limit_bytes=vmem_limit_mb * 2**20)
+                if vmem_limit_mb and not interpret else None),
+            interpret=interpret,
+        )
+
     calls = {}
     budget_ref: list = []
 
@@ -585,18 +688,26 @@ def make_fused_stage(geom: GridGeometry, params: FreezingParams,
                 budget_ref.append(15 * 2**20)
             else:
                 def probe(bz_):
-                    call = build_call(3, bz_, stage5=True)
-                    args = ([jax.ShapeDtypeStruct((1, 5), jnp.float32),
-                             jax.ShapeDtypeStruct(kshape, jnp.float32)]
-                            + [jax.ShapeDtypeStruct(kvshape, jnp.float32)] * 3
-                            + [jax.ShapeDtypeStruct((4, 3) + kshape[2:],
-                                                    jnp.float32)] * n_ghost)
+                    w_s = jax.ShapeDtypeStruct(kshape, jnp.float32)
+                    k_s = jax.ShapeDtypeStruct(kvshape, jnp.float32)
+                    g_s = [jax.ShapeDtypeStruct((4, 3) + kshape[2:],
+                                                jnp.float32)] * n_ghost
+                    if pipelined:
+                        call = build_call_pipe(3, bz_, stage5=True)
+                        args = ([jax.ShapeDtypeStruct((1, 5), jnp.float32)]
+                                + [w_s] * 3 + [k_s] * 9 + g_s)
+                    else:
+                        call = build_call(3, bz_, stage5=True)
+                        args = ([jax.ShapeDtypeStruct((1, 5), jnp.float32),
+                                 w_s] + [k_s] * 3 + g_s)
                     with jax.enable_x64(False):
                         jax.jit(call).lower(*args).compile()
+                kind = ("pipe-" if pipelined else "") + (
+                    "stage-ghost" if shard_ghosts else "stage")
                 budget_ref.append(
-                    _validated_budget(geom_local, layout, probe,
-                                      "stage-ghost" if shard_ghosts
-                                      else "stage"))
+                    _validated_budget(geom_local, layout, probe, kind,
+                                      kvars=K_VARS,
+                                      buffers=2 if pipelined else 1))
         return budget_ref[0]
 
     def _call(t_stage, h, w, ks, ghosts=(), stage5=False, part="all",
@@ -615,11 +726,17 @@ def make_fused_stage(geom: GridGeometry, params: FreezingParams,
         if len(ghosts) != want_ghost:
             raise ValueError(
                 f"expected {want_ghost} ghost planes, got {len(ghosts)}")
+        pipe = pipelined and part in ("all", "interior")
+        # bz must be identical across parts (edge writes into the
+        # interior pass's buffers), so the budget model always assumes
+        # the builder's most VMEM-hungry variant
         bz_ = bz or _pick_bz(geom_local, nk + 1, layout,
-                             vmem_budget=_budget())
+                             vmem_budget=_budget(),
+                             buffers=2 if pipelined else 1)
         key = (nk, bz_, stage5, part)
         if key not in calls:
-            calls[key] = build_call(nk, bz_, stage5, part)
+            builder = build_call_pipe if pipe else build_call
+            calls[key] = builder(nk, bz_, stage5, part)
         scal = jnp.concatenate([
             jnp.reshape(jnp.asarray(t_stage, jnp.float32), (1,)),
             jnp.reshape(jnp.asarray(h, jnp.float32), (1,)),
@@ -629,13 +746,21 @@ def make_fused_stage(geom: GridGeometry, params: FreezingParams,
         # DMA slice indices as i64, which tpu.memref_slice rejects
         # (observed on jax 0.9.0); all kernel operands are f32 anyway
         with jax.enable_x64(False):
+            if pipe:
+                # (center, prev, next) triplet per input: the same array
+                # three times under different block specs
+                ops = []
+                for arr in [w] + [k for _, k in ks]:
+                    ops += [arr, arr, arr]
+                return calls[key](scal, *ops, *ghosts)
             return calls[key](scal, w, *[k for _, k in ks], *ghosts, *prev)
 
     def min_interior_blocks(nk: int = 3) -> int:
         """Number of z-blocks at the picked block size (callers split
         interior/edge only when >= 3)."""
         bz_ = bz or _pick_bz(geom_local, nk + 1, layout,
-                             vmem_budget=_budget())
+                             vmem_budget=_budget(),
+                             buffers=2 if pipelined else 1)
         return Z // bz_
 
     if shard_ghosts:
