@@ -63,6 +63,12 @@ def main(argv: Optional[List[str]] = None) -> int:
     ap.add_argument("--platform", default=None,
                     help="force a jax platform (e.g. 'cpu'; this image "
                          "pins jax_platforms=axon over JAX_PLATFORMS)")
+    ap.add_argument("--mesh", default=None, metavar="SPEC",
+                    help="shard particles over a device mesh (e.g. 'p' = "
+                         "all devices, 'p4'); results are mesh-size "
+                         "invariant — a capability the reference DEM "
+                         "lacks (MPI 'not supported', "
+                         "spheres_friction_angular.c:614-616)")
     args = ap.parse_args(argv)
 
     import jax
@@ -91,9 +97,17 @@ def main(argv: Optional[List[str]] = None) -> int:
 
     print("Initializing...")
     os.makedirs(args.output, exist_ok=True)
-    rhs = make_dem_rhs(cfg, neighbor=args.neighbor)
     params = MersonParams(delta=cfg.delta, h_min=cfg.ht_min)
-    state = merson_init({k: jnp.asarray(v) for k, v in y0.items()}, 0.0, cfg.ht)
+    y_dev = {k: jnp.asarray(v) for k, v in y0.items()}
+    mesh = None
+    if args.mesh:
+        from ..parallel.sharding import make_mesh, shard_dem_state
+        mesh = make_mesh(args.mesh)
+        y_dev = shard_dem_state(y_dev, mesh)
+        print(f"Particles sharded over mesh "
+              f"{dict(zip(mesh.axis_names, mesh.devices.shape))}")
+    rhs = make_dem_rhs(cfg, neighbor=args.neighbor, mesh=mesh)
+    state = merson_init(y_dev, 0.0, cfg.ht)
     solve = jax.jit(lambda st, ft: merson_solve(rhs, st, ft, params))
 
     start = time.time()

@@ -121,9 +121,21 @@ def make_cell_list(cfg: DEMConfig, capacity: int = 16,
 
 
 def make_dem_rhs(cfg: DEMConfig, dtype=jnp.float64, neighbor: str = "dense",
-                 cell_capacity: int = 16, cell_bounds=None):
+                 cell_capacity: int = 16, cell_bounds=None, mesh=None,
+                 axis_name: str = "p"):
     """Build ``rhs(t, y) -> dy/dt`` for the configured variant.
-    ``neighbor``: 'dense' (exact masked n x n) or 'cell_list'."""
+    ``neighbor``: 'dense' (exact masked n x n) or 'cell_list'.
+
+    ``mesh``: optional ``jax.sharding.Mesh`` with a particle axis
+    ``axis_name`` — the rhs then runs as an explicit ``shard_map``: each
+    shard computes its particle rows against the full ``all_gather``-ed
+    state, so every row's neighbor sum has exactly the single-device
+    summation order and results are **bitwise** mesh-size invariant (the
+    step-count oracle of SURVEY §4.2, extended to the DEM, which the
+    reference cannot distribute at all —
+    ``spheres_friction_angular.c:614-616``).  Plain GSPMD sharding without
+    this reshards the (n, n, 3) pair tensor and turns the neighbor sum
+    into partial sums + all-reduce, changing the rounding."""
     P_w, n_w = cfg.wall_arrays()
     kin_energy_fraction = cfg.COR * cfg.COR
     two_r = 2.0 * cfg.r
@@ -195,7 +207,22 @@ def make_dem_rhs(cfg: DEMConfig, dtype=jnp.float64, neighbor: str = "dense",
         n = pos.shape[0]
 
         # ---- particle pairs ----
-        if neighbor == "dense":
+        if mesh is not None:
+            # shard_map body: local rows vs the full gathered state
+            from jax import lax as _lax
+            pos_f = _lax.all_gather(pos, axis_name, tiled=True)
+            vel_f = _lax.all_gather(vel, axis_name, tiled=True)
+            ang_f = (_lax.all_gather(angvel, axis_name, tiled=True)
+                     if angvel is not None else None)
+            N = pos_f.shape[0]
+            rows = (_lax.axis_index(axis_name) * n
+                    + jnp.arange(n, dtype=jnp.int32))
+            mask = rows[:, None] != jnp.arange(N, dtype=jnp.int32)[None, :]
+            npos = jnp.broadcast_to(pos_f[None, :, :], (n, N, 3))
+            nvel = jnp.broadcast_to(vel_f[None, :, :], (n, N, 3))
+            nang = (jnp.broadcast_to(ang_f[None, :, :], (n, N, 3))
+                    if angvel is not None else None)
+        elif neighbor == "dense":
             npos = jnp.broadcast_to(pos[None, :, :], (n, n, 3))
             nvel = jnp.broadcast_to(vel[None, :, :], (n, n, 3))
             nang = (jnp.broadcast_to(angvel[None, :, :], (n, n, 3))
@@ -243,4 +270,23 @@ def make_dem_rhs(cfg: DEMConfig, dtype=jnp.float64, neighbor: str = "dense",
                              else jnp.zeros_like(angvel))
         return out
 
-    return rhs
+    if mesh is None:
+        return rhs
+
+    if neighbor != "dense":
+        raise ValueError("mesh sharding supports the dense neighbor "
+                         "strategy (the cell list is single-device)")
+    from functools import partial as _partial
+
+    from jax.experimental.shard_map import shard_map as _shard_map
+    from jax.sharding import PartitionSpec as _P
+    pspec = _P(axis_name, None)
+
+    def rhs_sharded(t, y):
+        specs = {k: pspec for k in y}
+        impl = _partial(_shard_map, mesh=mesh,
+                        in_specs=(_P(), specs), out_specs=specs,
+                        check_rep=False)(rhs)
+        return impl(jnp.asarray(t, dtype), y)
+
+    return rhs_sharded

@@ -80,3 +80,31 @@ def shard_freezing_state(w: jax.Array, mesh: Mesh) -> jax.Array:
         raise ValueError(
             f"grid {w.shape[1:]} not divisible by mesh z={zsize}, y={ysize}")
     return jax.device_put(w, sh)
+
+
+def dem_sharding(mesh: Mesh, axis: str = "p") -> NamedSharding:
+    """NamedSharding for DEM state leaves ``(n, 3)``: particles over
+    ``axis``, components replicated.
+
+    The reference DEM is OpenMP-only — MPI explicitly "not supported"
+    (``spheres_friction_angular.c:614-616``).  On a TPU mesh the masked
+    dense pair scan is row-parallel over particles: sharding the particle
+    axis makes GSPMD partition the (n, n, 3) pair intermediates by rows
+    and all-gather the neighbor side over ICI, while the Merson
+    controller's error max becomes the one global all-reduce per attempt
+    — mesh-size-invariant results, exactly like the freezing grid."""
+    return NamedSharding(mesh, P(axis, None))
+
+
+def shard_dem_state(y: dict, mesh: Mesh, axis: str = "p") -> dict:
+    """Place a DEM state pytree ``{'pos','vel'[,'angvel']}: (n, 3)`` on
+    the mesh, particles sharded over ``axis`` (n must be divisible)."""
+    size = mesh.shape.get(axis, 1)
+    sh = dem_sharding(mesh, axis)
+    out = {}
+    for k, v in y.items():
+        if v.shape[0] % size:
+            raise ValueError(
+                f"n={v.shape[0]} not divisible by mesh {axis}={size}")
+        out[k] = jax.device_put(v, sh)
+    return out
