@@ -250,8 +250,19 @@ def run_iteration(
     # the exact reference step-control rule for f32 diagnostics too).
     default_growth = 1.05 if np.dtype(dtype) == np.float32 else 0.0
     growth_min = float(pf.vars.get("accept_growth_min", default_growth))
+    # NaN/Inf backoff (the solver's opt-in recovery, RK_Asolver.c:96-131;
+    # the reference ships it commented out, intertrack.c:2193, because in
+    # f64 the shipped tau=1 cold start cannot overflow).  In f32 the
+    # GradP stage cascade DOES overflow at tau=1: eps=inf drives the
+    # growth factor to 0 and h spins at exactly 0 forever (the reference
+    # would loop forever too) — on a TPU that on-device spin kills the
+    # worker.  Backoff shrinks h tenfold per attempt until finite, which
+    # is the reference-native escape.  Overridable as a Params variable.
+    default_nan = np.dtype(dtype) == np.float32
+    handle_nan = bool(pf.vars.get("handle_nan", default_nan))
     mparams = MersonParams(delta=delta, h_min=tau_min,
-                           accept_growth_min=growth_min)
+                           accept_growth_min=growth_min,
+                           handle_nan=handle_nan)
     if growth_min:
         log("f32 step-control: accept-side minimum h growth %.2f\n",
             growth_min)

@@ -322,6 +322,61 @@ class TestMixedPrecision:
         assert float(st.t) == pytest.approx(36000.1, abs=1e-9)
 
 
+class TestOverflowRecovery:
+    def test_f32_overflow_cold_start_recovers_with_handle_nan(self):
+        """An f32 stage cascade that overflows at the initial h (the MR
+        GradP tau=1 cold start) must recover via the NaN backoff
+        (RK_Asolver.c:96-131).  Without it, eps=inf drives the growth
+        factor to 0 and h spins at exactly 0 forever (the reference
+        loops forever there too — on TPU the on-device spin kills the
+        worker), which is why the intertrack app enables handle_nan for
+        f32 runs."""
+        # stiff decay: at h=1 the K cascade amplifies ~(h*k)^4*k ~ 1e40,
+        # overflowing f32 through the stage-5 combination.  delta sits
+        # above the f32 estimator noise floor k*ulp(y) ~ 12 (like the
+        # production case, where the floor is below delta), so once the
+        # backoff has recovered a finite h the controller steps normally.
+        k = 1e8
+        f = lambda t, y: -k * y
+        y0 = jnp.ones((4,), jnp.float32)
+        params = MersonParams(delta=100.0, h_min=1e-12, max_steps=500,
+                              handle_nan=True)
+        state = merson_init(y0, 0.0, 1.0)
+        # tf far beyond reach: the point is the recovery, not completion
+        st, status = jax.jit(
+            lambda s: merson_solve(f, s, 1.0, params))(state)
+        assert int(st.steps) >= 1          # accepted steps happened
+        assert float(st.t) > 0.0           # time advanced
+        h = float(jnp.abs(st.h))
+        assert np.isfinite(h) and h > 0.0  # h recovered to an equilibrium
+        assert np.all(np.isfinite(np.asarray(st.y)))
+
+    def test_zero_h_trap_needs_handle_nan(self):
+        """When the stage cascade overflows to eps = +inf, the reference
+        growth rule pow(delta/inf, 0.2) = 0 makes new_h = 0 — and at
+        h = 0 every subsequent attempt keeps h at exactly 0 (fac * 0),
+        rejecting forever: reference-parity behavior where the C solver
+        loops forever (on TPU the on-device spin kills the worker).
+        handle_nan's h/10 backoff takes precedence over the zero growth
+        factor and escapes the trap."""
+        k = 1e12
+        f = lambda t, y: -k * y
+        y0 = jnp.full((4,), 1e20, jnp.float32)   # K2 ~ k^2 h y -> inf
+        state = merson_init(y0, 0.0, 1.0)
+        params0 = MersonParams(delta=1e-3, h_min=0.0, max_steps=50)
+        st0, status0 = jax.jit(
+            lambda s: merson_solve(f, s, 1.0, params0))(state)
+        assert int(status0) == -7  # MAX_STEPS: it would spin forever
+        assert float(jnp.abs(st0.h)) == 0.0
+        assert int(st0.steps) == 0
+        # with the backoff, h never touches 0
+        params1 = MersonParams(delta=1e-3, h_min=0.0, max_steps=50,
+                               handle_nan=True)
+        st1, _ = jax.jit(
+            lambda s: merson_solve(f, s, 1.0, params1))(state)
+        assert float(jnp.abs(st1.h)) > 0.0
+
+
 class TestAcceptGrowthMin:
     """The noise-floor escape (MersonParams.accept_growth_min).
 
