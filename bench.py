@@ -289,6 +289,9 @@ def main():
                     help="bench the full LR/MR/HR x GradP/SigmaP/Temp "
                          "matrix + DEM; one JSON line each")
     ap.add_argument("--n-spheres", type=int, default=200)
+    ap.add_argument("--neighbor", choices=["dense", "cell_list"],
+                    default="dense",
+                    help="DEM neighbor strategy (--suite dem)")
     ap.add_argument("--grid-nodes", type=int, default=200,
                     help="cells along the longest side: 100=LR, 200=MR, 400=HR")
     ap.add_argument("--calc-mode", type=int, default=0, choices=[0, 1, 2])
@@ -362,7 +365,7 @@ def main():
 
     with maybe_profile():
         if args.suite == "dem":
-            rec = bench_dem(args)
+            rec = bench_dem(args, neighbor=args.neighbor)
         else:
             rec = bench_freezing(args, calc_mode=args.calc_mode)
     print(json.dumps(rec))
