@@ -164,3 +164,21 @@ class TestMasterRankCompat:
         rc = run_app(tmp_path, BASE, argv_extra=["0"])
         assert rc == 0
         assert (tmp_path / "image.002.ncd").exists()
+
+
+class TestF32OverflowRecovery:
+    def test_f32_big_tau_cold_start_completes(self, tmp_path):
+        """An f32 run whose initial tau overflows the stage cascade must
+        recover through the app's default NaN backoff instead of
+        spinning at h = 0 forever (the zero-h trap that killed the MR
+        production run on TPU; the reference C solver loops forever in
+        the same state — intertrack.c:2193 ships its recovery commented
+        out, safe only in f64)."""
+        # tau far above the stable step: the GradP cascade overflows f32
+        params = BASE + "\ntau 1e6\n"
+        rc = run_app(tmp_path, params, argv_extra=["--precision", "f32"])
+        assert rc == 0
+        log = (tmp_path / "intertrack.log").read_text()
+        assert "completed successfully" in log
+        data = read_netcdf(str(tmp_path / "image.002.ncd"))
+        assert np.all(np.isfinite(data.variables["u"]))
