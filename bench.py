@@ -95,17 +95,29 @@ def bench_dem(args, neighbor="dense", n_spheres=None):
     y0, _ = icond_dense(cfg, seed=0)
     rhs = make_dem_rhs(cfg, dtype=jnp.float32, neighbor=neighbor)
     steps = args.steps or (20000 if n <= 400 else 2000)
-    params = MersonParams(delta=cfg.delta, h_min=cfg.ht_min, max_steps=steps,
+    # chunked solve calls (the app's service-path pattern): a while_loop
+    # with a very large baked trip count reproducibly faults the axon
+    # TPU worker (PERFORMANCE.md known issue); <=512-attempt programs
+    # are clean and the chunk boundary costs one scalar fetch
+    chunk = min(steps, 512)
+    params = MersonParams(delta=cfg.delta, h_min=cfg.ht_min, max_steps=chunk,
                           handle_nan=True)
     solve = jax.jit(lambda st: merson_solve(rhs, st, 1e9, params))
+
+    def run(st, n_attempts):
+        start = int(st.steps_total)
+        while int(st.steps_total) - start < n_attempts:
+            st, _ = solve(st)
+        return st
+
     state = merson_init({k: jnp.asarray(v, jnp.float32) for k, v in y0.items()},
                         0.0, cfg.ht)
     log(f"compiling + warmup (n={n}, neighbor={neighbor})...")
-    state, _ = solve(state)
+    state = run(state, steps)
     n0 = int(state.steps_total)
     log(f"timing {steps} attempted steps (t={float(state.t):.3f}s sim)...")
     t0 = time.time()
-    state, _ = solve(state)
+    state = run(state, steps)
     done = int(state.steps_total) - n0
     wall = time.time() - t0
     value = 5.0 * cfg.n * done / wall
