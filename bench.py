@@ -190,7 +190,7 @@ def bench_freezing(args, grid_nodes=None, calc_mode=0):
     rhs = make_rhs(geom, prm_solver, calc_mode=calc_mode)
     delta = pf.vars["delta"]
 
-    use_fused = (args.fused in ("on", "attempt", "stage") or (
+    use_fused = (args.fused in ("on", "attempt", "stage", "delta") or (
         args.fused == "auto" and dtype == np.float32
         and jax.devices()[0].platform not in ("cpu",)))
     stage_fn = None
@@ -211,6 +211,12 @@ def bench_freezing(args, grid_nodes=None, calc_mode=0):
             log(f"fused Pallas stage kernels: ON (sharded over "
                 f"{dict(zip(mesh.axis_names, mesh.devices.shape))}, "
                 f"overlap={'ON' if not args.no_overlap else 'OFF'})")
+        elif args.fused == "delta":
+            from porousfreezethaw_tpu.ops.pallas.stencil import (
+                make_delta_attempt)
+            attempt_fn = make_delta_attempt(geom, prm_solver,
+                                            calc_mode=calc_mode, bz=args.bz)
+            log("fused Pallas increment-form (delta) attempt: ON")
         elif args.fused == "attempt":
             attempt_fn = make_fused_attempt(geom, prm_solver,
                                             calc_mode=calc_mode, bz=args.bz)
@@ -237,7 +243,10 @@ def bench_freezing(args, grid_nodes=None, calc_mode=0):
     params = MersonParams(
         delta=delta, h_min=pf.vars["tau_min"], max_steps=steps,
         handle_nan=True,
-        accept_growth_min=1.05 if dtype == np.float32 else 0.0)
+        # the increment-form attempt has no estimator noise floor, so it
+        # keeps the exact reference step-control rule
+        accept_growth_min=(1.05 if dtype == np.float32
+                           and attempt_fn is None else 0.0))
     # ONE compiled program for both warmup and timing: max_steps is baked
     # into the while_loop, so warm/timed programs with different counts
     # would each pay their own (potentially cold through the remote-compile
@@ -327,12 +336,15 @@ def main():
     ap.add_argument("--profile-dir", default=None,
                     help="capture a jax.profiler trace (xplane/tensorboard) "
                          "of the timed section into this directory")
-    ap.add_argument("--fused", choices=["auto", "attempt", "stage", "on",
-                                        "off"], default="auto",
+    ap.add_argument("--fused", choices=["auto", "attempt", "stage", "delta",
+                                        "on", "off"], default="auto",
                     help="Pallas path: 'stage' = per-stage kernels with "
-                         "fused stage-5 tail (fastest measured), "
-                         "'attempt' = double-buffered full-attempt "
-                         "pipeline, 'auto'/'on' = stage")
+                         "fused stage-5 tail (fastest per attempt), "
+                         "'delta' = increment-form attempt (the app's "
+                         "f32 GradP default: no estimator noise floor, "
+                         "fewer steps end-to-end), 'attempt' = "
+                         "double-buffered full-attempt pipeline, "
+                         "'auto'/'on' = stage")
     args = ap.parse_args()
 
     if args.grid_nodes < 4:

@@ -210,6 +210,7 @@ def run_iteration(
     rhs = make_rhs(geom, solver_params, calc_mode, noise=noise)
     w_dev = jnp.asarray(w0)
     stage_fn = None
+    attempt_fn = None
     unpad = lambda y: np.asarray(y)
     fused_ok = (np.dtype(dtype) == np.float32 and noise is None
                 and jax.devices()[0].platform != "cpu")
@@ -233,13 +234,28 @@ def run_iteration(
         else:
             w_dev = shard_freezing_state(w_dev, mesh)
     elif fused_ok:
-        # single-device TPU f32: use the fused Pallas stage kernel
+        # single-device TPU f32.  GradP defaults to the increment-form
+        # (delta) attempt: the exact f(w+d)-f(w) kernels remove the f32
+        # stage-state rounding floor from the error estimator entirely
+        # (models/freezing/delta.py), so the controller follows the
+        # reference f64 step sizes with no noise-floor escape needed —
+        # this is what un-inflates the stiff GradP step counts (2.6x at
+        # MR) and un-pins the thaw onset.  Temp/SigmaP keep the cheaper
+        # classic stage kernels (their floors sit below the controller
+        # fixed point; measured inflation only 1.05-1.07x).  Overridable
+        # as a Params variable (`increment_form 0|1`).
+        use_delta = bool(pf.vars.get(
+            "increment_form", 1.0 if calc_mode in (0, 10) else 0.0))
         from ..ops.pallas.stencil import (
-            make_fused_stage, pad_state, unpad_state)
-        stage_fn = make_fused_stage(geom, solver_params, calc_mode)
+            make_delta_attempt, make_fused_stage, pad_state, unpad_state)
+        if use_delta:
+            attempt_fn = make_delta_attempt(geom, solver_params, calc_mode)
+            log("Fused Pallas increment-form (delta) attempt: ON\n")
+        else:
+            stage_fn = make_fused_stage(geom, solver_params, calc_mode)
+            log("Fused Pallas stage kernel: ON\n")
         w_dev = pad_state(w_dev, geom)
         unpad = lambda y: np.asarray(unpad_state(y, geom))
-        log("Fused Pallas stage kernel: ON\n")
 
     state = merson_init(w_dev, starting_time, tau)
     # f32 production runs enable the noise-floor escape: the f32
@@ -248,7 +264,10 @@ def run_iteration(
     # point (eps = 0.328 delta); f64 keeps the exact reference rule.
     # Overridable as a Params variable (`accept_growth_min 0` restores
     # the exact reference step-control rule for f32 diagnostics too).
-    default_growth = 1.05 if np.dtype(dtype) == np.float32 else 0.0
+    # ... the increment-form path needs no escape: its estimator has no
+    # h-independent floor, so it keeps the exact reference rule.
+    default_growth = (1.05 if np.dtype(dtype) == np.float32
+                      and attempt_fn is None else 0.0)
     growth_min = float(pf.vars.get("accept_growth_min", default_growth))
     # NaN/Inf backoff (the solver's opt-in recovery, RK_Asolver.c:96-131;
     # the reference ships it commented out, intertrack.c:2193, because in
@@ -297,7 +316,8 @@ def run_iteration(
         cparams = _dc.replace(mparams, max_steps=chunk, record_trace=chunk)
         solve_chunk = jax.jit(
             lambda st, ft: merson_solve(rhs, st, ft, cparams,
-                                        stage_fn=stage_fn))
+                                        stage_fn=stage_fn,
+                                        attempt_fn=attempt_fn))
 
         def solve(state, ft):
             while True:
@@ -329,7 +349,8 @@ def run_iteration(
         solve = jax.jit(
             lambda st, ft: merson_solve(rhs, st, ft, mparams,
                                         service_callback=service,
-                                        stage_fn=stage_fn))
+                                        stage_fn=stage_fn,
+                                        attempt_fn=attempt_fn))
 
     # ---------- output naming (incl. batch dirs, intertrack.c:1437-1484) ----
     out_file = pf.setting("out_file")

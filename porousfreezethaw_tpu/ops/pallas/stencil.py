@@ -824,6 +824,235 @@ def make_fused_stage(geom: GridGeometry, params: FreezingParams,
 
 
 # ---------------------------------------------------------------------------
+# increment-form (delta) attempt: the f32 noise-floor-free production path
+# ---------------------------------------------------------------------------
+
+class DeltaAttempt:
+    """Merson attempt in increment form (models/freezing/delta.py).
+
+    Stage 1 is the plain fused stage (``K1 = f(w)``); stages 2-5 are
+    G-kernels computing the exact difference ``G_i = f(w + d_i) - f(w)``
+    where ``d_i = h * (c0 K1 + sum c_j G_j)`` is assembled in VMEM.  The
+    stage-5 tail computes the estimator ``-0.9 G3 + 0.8 G4 - 0.1 G5``
+    (K1 cancels algebraically — no f32 stage-state rounding floor) and
+    the speculative update ``w + h K1 + (h/3)(2 G4 + 0.5 G5)`` without
+    touching HBM again.  Memory traffic is identical to the classic
+    fused path (same slab counts per stage); only VPU work grows (the
+    old-value common subexpressions are recomputed per stage).
+
+    Implements merson_solve's ``attempt_fn`` protocol; the state is the
+    padded 3-variable array (pack/unpack are shape checks only).
+    """
+
+    def __init__(self, geom: GridGeometry, params: FreezingParams,
+                 calc_mode: int, *, bz: int = 0,
+                 layout: str = DEFAULT_LAYOUT, interpret: bool = False,
+                 vmem_limit_mb: int = 0):
+        from ...models.freezing.delta import compute_rhs_delta
+        self.geom = geom
+        self.layout = layout
+        self.kshape = padded_shape(geom, layout)
+        self._prm = params
+        self._stage1 = make_fused_stage(
+            geom, params, calc_mode, bz=bz, layout=layout,
+            interpret=interpret, vmem_limit_mb=vmem_limit_mb)
+        mode = CalcMode(calc_mode)
+        prm = params
+        coeffs = physics.Coeffs.of(prm)
+        Z = geom.n3
+        kshape = self.kshape
+        kvshape = padded_k_shape(geom, layout)
+        self._kvshape = kvshape
+        neighbors = _make_neighbors(geom, layout)
+        calls = {}
+
+        def build_g(nk: int, bz_: int, stage5: bool):
+            """Pipelined G kernel: inputs w + nk K/G arrays as
+            (center, prev, next) triplets; scal = [h, D1, dDi, c...]."""
+            nb = Z // bz_
+            ndim_tail = len(kshape) - 2
+            k_block = (K_VARS, bz_) + kshape[2:]
+
+            def kernel(scal_ref, *refs):
+                ins = refs[:3 * (nk + 1)]
+                outs = refs[3 * (nk + 1):]
+                i = jnp.asarray(pl.program_id(0), jnp.int32)
+                last = i == nb - 1
+                h = scal_ref[0, 0]
+                D1 = scal_ref[0, 1]
+                dDi = scal_ref[0, 2]
+                slabs = []
+                for a in range(nk + 1):
+                    cen = ins[3 * a][:]
+                    prv = ins[3 * a + 1][:]
+                    nxt = ins[3 * a + 2][:]
+                    slabs.append(jnp.concatenate([prv, cen, nxt], axis=1))
+                wsl = slabs[0]
+                # Dirichlet old ghost: u top plane := D(t1)
+                pidx = lax.broadcasted_iota(jnp.int32, wsl.shape, 1)
+                var = lax.broadcasted_iota(jnp.int32, wsl.shape, 0)
+                wsl = jnp.where(last & (pidx == bz_ + 1) & (var == 0),
+                                D1, wsl)
+                # delta slab in VMEM: d = h * (c0 K1 + sum c_j G_j);
+                # the z-clamped triplets make its mirror ghosts exact
+                dsl = (h * scal_ref[0, 3]) * slabs[1]
+                for a in range(1, nk):
+                    dsl = dsl + (h * scal_ref[0, 3 + a]) * slabs[1 + a]
+                # Dirichlet increment ghost: a top plane := D(ti)-D(t1)
+                pidd = lax.broadcasted_iota(jnp.int32, dsl.shape, 1)
+                vard = lax.broadcasted_iota(jnp.int32, dsl.shape, 0)
+                dsl = jnp.where(last & (pidd == bz_ + 1) & (vard == 0),
+                                dDi, dsl)
+
+                fields = {"u": wsl[0], "p": wsl[1], "gl": wsl[2],
+                          "a": dsl[0], "b": dsl[1]}
+                n, valid = neighbors(fields, last, bz_)
+                gu, gp = compute_rhs_delta(mode, prm, coeffs, geom, n)
+                zero = jnp.zeros_like(gu)
+                g_out = jnp.stack([jnp.where(valid, gu, zero),
+                                   jnp.where(valid, gp, zero)]
+                                  ).astype(jnp.float32)
+                if not stage5:
+                    outs[0][:] = g_out
+                    return
+                # tail: estimator from the G's only + speculative update
+                C = slice(1, bz_ + 1)
+                k1c = slabs[1][:, C]
+                g3c = slabs[2][:, C]
+                g4c = slabs[3][:, C]
+                err = -0.9 * g3c + 0.8 * g4c - 0.1 * g_out
+                eps = jnp.max(jnp.abs(err))
+                y_out = (slabs[0][:K_VARS, C] + h * k1c
+                         + (h / 3.0) * (2.0 * g4c + 0.5 * g_out))
+                outs[0][:] = y_out
+                outs[1][:] = jnp.broadcast_to(eps, outs[1].shape)
+
+            zeros = (0,) * ndim_tail
+            in_specs = [pl.BlockSpec(memory_space=pltpu.SMEM)]
+            for a in range(nk + 1):
+                nv = N_VARS if a == 0 else K_VARS
+                in_specs += [
+                    pl.BlockSpec((nv, bz_) + kshape[2:],
+                                 lambda i: (0, i) + zeros,
+                                 memory_space=pltpu.VMEM),
+                    pl.BlockSpec((nv, 1) + kshape[2:],
+                                 lambda i: (0, jnp.maximum(i * bz_ - 1, 0))
+                                 + zeros, memory_space=pltpu.VMEM),
+                    pl.BlockSpec(
+                        (nv, 1) + kshape[2:],
+                        lambda i: (0, jnp.minimum(i * bz_ + bz_, Z - 1))
+                        + zeros, memory_space=pltpu.VMEM),
+                ]
+            out_specs = [pl.BlockSpec(k_block, lambda i: (0, i) + zeros,
+                                      memory_space=pltpu.VMEM)]
+            out_shapes = [jax.ShapeDtypeStruct(kvshape, jnp.float32)]
+            if stage5:
+                out_specs.append(pl.BlockSpec((1, 8, _LANES),
+                                              lambda i: (i, 0, 0),
+                                              memory_space=pltpu.VMEM))
+                out_shapes.append(jax.ShapeDtypeStruct((nb, 8, _LANES),
+                                                       jnp.float32))
+            return pl.pallas_call(
+                kernel,
+                grid=(nb,),
+                in_specs=in_specs,
+                out_specs=out_specs if stage5 else out_specs[0],
+                out_shape=out_shapes if stage5 else out_shapes[0],
+                compiler_params=(pltpu.CompilerParams(
+                    vmem_limit_bytes=vmem_limit_mb * 2**20)
+                    if vmem_limit_mb and not interpret else None),
+                interpret=interpret,
+            )
+
+        budget_ref: list = []
+
+        def _budget() -> int:
+            if not budget_ref:
+                if interpret or jax.devices()[0].platform == "cpu":
+                    budget_ref.append(15 * 2**20)
+                else:
+                    def probe(bz_):
+                        w_s = jax.ShapeDtypeStruct(kshape, jnp.float32)
+                        k_s = jax.ShapeDtypeStruct(kvshape, jnp.float32)
+                        call = build_g(3, bz_, stage5=True)
+                        args = ([jax.ShapeDtypeStruct((1, 6), jnp.float32)]
+                                + [w_s] * 3 + [k_s] * 9)
+                        with jax.enable_x64(False):
+                            jax.jit(call).lower(*args).compile()
+                    budget_ref.append(
+                        _validated_budget(geom, layout, probe, "delta",
+                                          kvars=K_VARS, buffers=2))
+            return budget_ref[0]
+
+        def g_call(h, D1, dDi, w, ks, stage5=False):
+            nk = len(ks)
+            bz_ = bz or _pick_bz(geom, nk + 1, layout,
+                                 vmem_budget=_budget(), buffers=2)
+            key = (nk, bz_, stage5)
+            if key not in calls:
+                calls[key] = build_g(nk, bz_, stage5)
+            scal = jnp.concatenate([
+                jnp.reshape(jnp.asarray(h, jnp.float32), (1,)),
+                jnp.reshape(jnp.asarray(D1, jnp.float32), (1,)),
+                jnp.reshape(jnp.asarray(dDi, jnp.float32), (1,)),
+                jnp.asarray([c for c, _ in ks], jnp.float32).reshape(nk),
+            ]).reshape(1, nk + 3)
+            ops = []
+            for arr in [w] + [k for _, k in ks]:
+                ops += [arr, arr, arr]
+            with jax.enable_x64(False):
+                return calls[key](scal, *ops)
+
+        self._g = g_call
+
+    # --- merson_solve attempt_fn protocol ---
+
+    def pack(self, y):
+        if y.shape != self.kshape:
+            raise ValueError(
+                f"DeltaAttempt expects the padded {self.layout!r} layout "
+                f"{self.kshape} (see pad_state), got {y.shape}")
+        return y
+
+    def attempt(self, t, h, y):
+        prm = self._prm
+        D1 = physics.dirichlet_top(t, prm)
+
+        def dD(ts):
+            # exact: both values are parameter constants
+            return (physics.dirichlet_top(ts, prm) - D1).astype(jnp.float32)
+
+        K1 = self._stage1(t, h, y, [])
+        G2 = self._g(h, D1, dD(t + h / 3), y, [(1.0 / 3.0, K1)])
+        G3 = self._g(h, D1, dD(t + h / 3), y,
+                     [(1.0 / 3.0, K1), (1.0 / 6.0, G2)])
+        G4 = self._g(h, D1, dD(t + h / 2), y,
+                     [(0.5, K1), (0.375, G3)])
+        y_spec, eps_blocks = self._g(
+            h, D1, dD(t + h), y,
+            [(1.0, K1), (-1.5, G3), (2.0, G4)], stage5=True)
+        return (y, y_spec), eps_blocks
+
+    def commit(self, carry_spec, accept):
+        y, y_spec = carry_spec
+        sel = jnp.where(accept, y_spec, y[:K_VARS])
+        return lax.dynamic_update_slice(y, sel.astype(y.dtype),
+                                        (0,) * y.ndim)
+
+    def unpack(self, y):
+        return y
+
+
+def make_delta_attempt(geom: GridGeometry, params: FreezingParams,
+                       calc_mode: int, *, bz: int = 0,
+                       layout: str = DEFAULT_LAYOUT,
+                       interpret: bool = False,
+                       vmem_limit_mb: int = 0) -> DeltaAttempt:
+    return DeltaAttempt(geom, params, calc_mode, bz=bz, layout=layout,
+                        interpret=interpret, vmem_limit_mb=vmem_limit_mb)
+
+
+# ---------------------------------------------------------------------------
 # double-buffered full-attempt pipeline
 # ---------------------------------------------------------------------------
 

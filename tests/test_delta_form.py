@@ -112,3 +112,75 @@ def test_f32_estimator_floor_removed(case, mode):
     # already tiny — the model is not noise-pinned in practice)
     factor = {0: 1e4, 1: 1e4, 2: 10.0}[mode]
     assert err_delta < err_classic / factor, (err_delta, err_classic)
+
+
+class TestDeltaAttemptPallas:
+    """Pallas increment-form kernels (interpret mode) vs the XLA oracle."""
+
+    def _padded(self, case):
+        from porousfreezethaw_tpu.ops.pallas.stencil import pad_state
+        geom, prm, w, _ = case
+        w32 = jnp.asarray(w, jnp.float32)
+        return geom, prm, w32, pad_state(w32, geom)
+
+    @pytest.mark.parametrize("mode", [0, 1, 2])
+    def test_attempt_matches_xla(self, case, mode):
+        from porousfreezethaw_tpu.ops.pallas.stencil import (
+            make_delta_attempt, unpad_state)
+        geom, prm, w32, wp = self._padded(case)
+        att = make_delta_attempt(geom, prm, mode, bz=2, interpret=True)
+        # h large enough that the true estimate sits well above the G
+        # paths' relative rounding (Pallas and XLA sum faces in
+        # different orders)
+        t, h = 100.0, 0.05
+        (y0, y_spec_p), eps_blocks = att.attempt(
+            jnp.asarray(t, jnp.float64), jnp.asarray(h, jnp.float64), wp)
+        got_eps = float(jnp.max(eps_blocks))
+        y_spec = np.asarray(unpad_state(y_spec_p, geom))
+
+        # XLA replication of the increment algebra in f32
+        rhs = make_rhs(geom, prm, calc_mode=mode)
+        g = make_g_rhs(geom, prm, calc_mode=mode)
+        hh = jnp.asarray(h, jnp.float32)
+        K1 = rhs(t, w32)[:2]
+        G2 = g(t, t + h / 3, w32, hh / 3 * K1)
+        G3 = g(t, t + h / 3, w32, hh * (K1 / 3 + G2 / 6))
+        G4 = g(t, t + h / 2, w32, hh * (K1 / 2 + 0.375 * G3))
+        G5 = g(t, t + h, w32, hh * (K1 - 1.5 * G3 + 2 * G4))
+        est = np.asarray(-0.9 * G3 + 0.8 * G4 - 0.1 * G5)
+        want_eps = float(np.abs(est).max())
+        want_y = np.asarray(w32[:2] + hh * K1
+                            + hh / 3 * (2 * G4 + 0.5 * G5))
+        assert abs(got_eps - want_eps) <= 1e-3 * want_eps + 1e-7
+        np.testing.assert_allclose(y_spec, want_y, rtol=1e-5, atol=1e-5)
+
+    def test_solver_integration_tracks_f64(self, case):
+        """merson_solve over the DeltaAttempt path (f32) must track the
+        f64 reference trajectory and step counts on the stiff GradP
+        model."""
+        from porousfreezethaw_tpu.ops.pallas.stencil import (
+            make_delta_attempt, pad_state, unpad_state)
+        from porousfreezethaw_tpu.solvers.merson import (
+            MersonParams, merson_init, merson_solve)
+        geom, prm, w, _ = case
+        params = MersonParams(delta=1e-3, h_min=1e-9, max_steps=200)
+
+        st64, status64 = merson_solve(
+            make_rhs(geom, prm, calc_mode=0),
+            merson_init(jnp.asarray(w, jnp.float64), 0.0, 1e-4),
+            0.05, params)
+        assert int(status64) == 0
+
+        att = make_delta_attempt(geom, prm, 0, bz=2, interpret=True)
+        wp = pad_state(jnp.asarray(w, jnp.float32), geom)
+        st32, status32 = merson_solve(
+            None, merson_init(wp, 0.0, 1e-4), 0.05, params,
+            attempt_fn=att)
+        assert int(status32) == 0
+        # step counts within a few of the f64 truth (no noise floor)
+        assert abs(int(st32.steps) - int(st64.steps)) <= max(
+            3, int(0.1 * int(st64.steps)))
+        y32 = np.asarray(unpad_state(st32.y, geom))
+        y64 = np.asarray(st64.y)
+        scale = np.abs(y64[:2]).max()
+        assert np.abs(y32[:2] - y64[:2]).max() / scale < 1e-4
