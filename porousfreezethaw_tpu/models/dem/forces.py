@@ -120,6 +120,62 @@ def make_cell_list(cfg: DEMConfig, capacity: int = 16,
     return neighbor_ids
 
 
+def make_cell_matrix(cfg: DEMConfig, capacity: int = 16, bounds=None,
+                     dtype=jnp.float64):
+    """TPU-shaped neighbor structure: ``bin(pos) -> (slot, grid_valid)``
+    for the cell-ROLL strategy.  Particles are scattered into a
+    cell-major, capacity-padded array; the 27 neighbor cells of every
+    cell are then *rolls* of the (nz, ny, nx, K) grid — contiguous
+    vector moves the VPU executes at full rate — instead of the per-row
+    ``(n, 27*K)`` gather of ``make_cell_list`` (measured 20x slower than
+    the dense n^2 path at n = 2000 on v5e: per-particle gathers are
+    VPU-hostile).  Work is O(ncells * 27 * K^2); the only irregular ops
+    are one scatter (state -> cell-major) and one row gather
+    (accelerations -> particle order) per evaluation.
+
+    Overflow semantics match make_cell_list: particles beyond
+    ``capacity`` in one cell collapse onto the last slot (last write
+    wins) — use ``cell_occupancy`` to validate a configuration."""
+    lo, hi = bounds if bounds is not None else default_cell_bounds(cfg)
+    edge = 2.0 * cfg.r + cfg.max_surf_dist
+    dims = tuple(int(math.ceil((hi[d] - lo[d]) / edge)) for d in range(3))
+    nx, ny, nz = dims
+    ncells = nx * ny * nz
+    lo_arr = jnp.asarray(lo, dtype)
+    n = cfg.n
+    K = capacity
+
+    def cell_coords(pos):
+        ci = jnp.floor((pos - lo_arr) / edge).astype(jnp.int32)
+        return jnp.clip(ci, 0, jnp.asarray(dims, jnp.int32) - 1)
+
+    def bin_particles(pos):
+        ci = cell_coords(pos)
+        cid = (ci[:, 2] * ny + ci[:, 1]) * nx + ci[:, 0]
+        order = jnp.argsort(cid).astype(jnp.int32)
+        scid = cid[order]
+        first = jnp.searchsorted(scid, scid, side="left").astype(jnp.int32)
+        rank = jnp.arange(n, dtype=jnp.int32) - first
+        # slot of the k-th particle of its cell, in ORIGINAL order
+        slot_sorted = scid * K + jnp.minimum(rank, K - 1)
+        slot = jnp.zeros((n,), jnp.int32).at[order].set(slot_sorted)
+        valid = jnp.zeros((ncells * K,), bool).at[slot].set(True)
+        return slot, valid
+
+    def to_cells(slot, x):
+        """(n, 3) particle array -> (nz, ny, nx, K, 3) cell-major."""
+        flat = jnp.zeros((ncells * K, x.shape[-1]), x.dtype).at[slot].set(x)
+        return flat.reshape(nz, ny, nx, K, x.shape[-1])
+
+    bin_particles.dims = dims
+    bin_particles.capacity = K
+    bin_particles.to_cells = to_cells
+    # reuse the occupancy validator of the gather-based structure
+    bin_particles.cell_occupancy = make_cell_list(
+        cfg, capacity=K, bounds=bounds, dtype=dtype).cell_occupancy
+    return bin_particles
+
+
 def make_dem_rhs(cfg: DEMConfig, dtype=jnp.float64, neighbor: str = "dense",
                  cell_capacity: int = 16, cell_bounds=None, mesh=None,
                  axis_name: str = "p"):
@@ -166,6 +222,9 @@ def make_dem_rhs(cfg: DEMConfig, dtype=jnp.float64, neighbor: str = "dense",
     if neighbor == "cell_list":
         nbr_fn = make_cell_list(cfg, capacity=cell_capacity,
                                 bounds=cell_bounds, dtype=dtype)
+    elif neighbor == "cell_roll":
+        binner = make_cell_matrix(cfg, capacity=cell_capacity,
+                                  bounds=cell_bounds, dtype=dtype)
     elif neighbor != "dense":
         raise ValueError(f"unknown neighbor strategy {neighbor!r}")
 
@@ -201,6 +260,66 @@ def make_dem_rhs(cfg: DEMConfig, dtype=jnp.float64, neighbor: str = "dense",
                     (cfg.r * FF / cfg.inertia)[..., None] * torque, axis=1)
         return acc, angacc
 
+    def cell_roll_accels(pos, vel, angvel):
+        """Pair accelerations via the cell-major roll strategy: the
+        27 neighbor cells are rolls of the (nz, ny, nx, K) grid; each
+        offset contributes a fully regular (cells, K, K) block of pair
+        interactions.  No gathers in the pair loop."""
+        nx_, ny_, nz_ = binner.dims
+        K = binner.capacity
+        slot, valid = binner(pos)
+        Xp = binner.to_cells(slot, pos)
+        Xv = binner.to_cells(slot, vel)
+        Xa = binner.to_cells(slot, angvel) if angvel is not None else None
+        Vg = valid.reshape(nz_, ny_, nx_, K)
+        N = nz_ * ny_ * nx_ * K
+        own_pos = Xp.reshape(N, 3)
+        own_vel = Xv.reshape(N, 3)
+        own_ang = Xa.reshape(N, 3) if Xa is not None else None
+        iz = jnp.arange(nz_, dtype=jnp.int32)[:, None, None]
+        iy = jnp.arange(ny_, dtype=jnp.int32)[None, :, None]
+        ix = jnp.arange(nx_, dtype=jnp.int32)[None, None, :]
+        own_valid = Vg.reshape(N)
+        acc = jnp.zeros((N, 3), pos.dtype)
+        angacc = (jnp.zeros((N, 3), pos.dtype)
+                  if angvel is not None else None)
+        eye = jnp.eye(K, dtype=bool)
+        for ox, oy, oz in _OFFSETS:
+            sh = (-oz, -oy, -ox)
+            Yp = jnp.roll(Xp, sh, axis=(0, 1, 2))
+            Yv = jnp.roll(Xv, sh, axis=(0, 1, 2))
+            Ya = (jnp.roll(Xa, sh, axis=(0, 1, 2))
+                  if Xa is not None else None)
+            Yvalid = jnp.roll(Vg, sh, axis=(0, 1, 2))
+            in_range = ((iz + oz >= 0) & (iz + oz < nz_)
+                        & (iy + oy >= 0) & (iy + oy < ny_)
+                        & (ix + ox >= 0) & (ix + ox < nx_))
+            mask = (Vg[..., :, None] & Yvalid[..., None, :]
+                    & in_range[..., None, None])
+            if (ox, oy, oz) == (0, 0, 0):
+                mask = mask & ~eye
+            mflat = mask.reshape(N, K)
+            npos = jnp.broadcast_to(
+                Yp[..., None, :, :],
+                (nz_, ny_, nx_, K, K, 3)).reshape(N, K, 3)
+            nvel = jnp.broadcast_to(
+                Yv[..., None, :, :],
+                (nz_, ny_, nx_, K, K, 3)).reshape(N, K, 3)
+            nang = (jnp.broadcast_to(
+                Ya[..., None, :, :],
+                (nz_, ny_, nx_, K, K, 3)).reshape(N, K, 3)
+                if Ya is not None else None)
+            a, aa = pair_accels(own_pos, own_vel, own_ang,
+                                npos, nvel, nang, mflat)
+            acc = acc + a
+            if aa is not None:
+                angacc = angacc + aa
+        # masked slots carry garbage-free zeros; map back to particles
+        acc = jnp.where(own_valid[:, None], acc, 0.0)[slot]
+        if angacc is not None:
+            angacc = jnp.where(own_valid[:, None], angacc, 0.0)[slot]
+        return acc, angacc
+
     def rhs(t, y: Dict[str, jax.Array]) -> Dict[str, jax.Array]:
         pos, vel = y["pos"], y["vel"]
         angvel = y.get("angvel")
@@ -228,12 +347,18 @@ def make_dem_rhs(cfg: DEMConfig, dtype=jnp.float64, neighbor: str = "dense",
             nang = (jnp.broadcast_to(angvel[None, :, :], (n, n, 3))
                     if angvel is not None else None)
             mask = ~jnp.eye(n, dtype=bool)
+        elif neighbor == "cell_roll":
+            npos = None
         else:
             ids, mask = nbr_fn(pos)
             npos = pos[ids]
             nvel = vel[ids]
             nang = angvel[ids] if angvel is not None else None
-        pacc, angacc = pair_accels(pos, vel, angvel, npos, nvel, nang, mask)
+        if npos is None:
+            pacc, angacc = cell_roll_accels(pos, vel, angvel)
+        else:
+            pacc, angacc = pair_accels(pos, vel, angvel, npos, nvel, nang,
+                                       mask)
         acc = gravity + pacc
 
         # ---- walls ----
