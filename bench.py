@@ -123,7 +123,8 @@ def bench_dem(args, neighbor="dense", n_spheres=None):
     value = 5.0 * cfg.n * done / wall
     log(f"{done} attempts, {wall:.2f}s -> {value:.3e} particle*RHS-evals/s "
         f"(t={float(state.t):.3f}s sim)")
-    suffix = "" if neighbor == "dense" else "_celllist"
+    suffix = {"dense": "", "cell_list": "_celllist",
+              "cell_roll": "_cellroll"}[neighbor]
     return {
         "metric": f"dem_{n}{suffix}_particle_rhs_evals_per_s",
         "value": value,
@@ -310,7 +311,8 @@ def main():
                     help="bench the full LR/MR/HR x GradP/SigmaP/Temp "
                          "matrix + DEM; one JSON line each")
     ap.add_argument("--n-spheres", type=int, default=200)
-    ap.add_argument("--neighbor", choices=["dense", "cell_list"],
+    ap.add_argument("--neighbor", choices=["dense", "cell_list",
+                                           "cell_roll"],
                     default="dense",
                     help="DEM neighbor strategy (--suite dem)")
     ap.add_argument("--grid-nodes", type=int, default=200,
@@ -375,8 +377,8 @@ def main():
                 rec = bench_freezing(args, grid_nodes=gn, calc_mode=cm)
                 results.append(rec)
                 print(json.dumps(rec), flush=True)
-        for n, nb in ((200, "dense"), (2000, "cell_list"),
-                      (20000, "cell_list")):
+        for n, nb in ((200, "dense"), (2000, "cell_roll"),
+                      (20000, "cell_roll")):
             rec = bench_dem(args, neighbor=nb, n_spheres=n)
             results.append(rec)
             print(json.dumps(rec), flush=True)
