@@ -212,8 +212,13 @@ def run_iteration(
     stage_fn = None
     attempt_fn = None
     unpad = lambda y: np.asarray(y)
+    # PFT_FUSED_INTERPRET=1 runs the fused Pallas paths in interpret
+    # mode on CPU — integration-test coverage of the production code
+    # path without a chip (tests/test_intertrack_app.py)
+    fused_interp = (os.environ.get("PFT_FUSED_INTERPRET") == "1"
+                    and jax.devices()[0].platform == "cpu")
     fused_ok = (np.dtype(dtype) == np.float32 and noise is None
-                and jax.devices()[0].platform != "cpu")
+                and (jax.devices()[0].platform != "cpu" or fused_interp))
     if mesh_axes:
         mesh = make_mesh(mesh_axes)
         log("Device mesh: %s\n", dict(zip(mesh.axis_names, mesh.devices.shape)))
@@ -226,7 +231,8 @@ def run_iteration(
             from ..parallel.fused import (
                 make_sharded_fused_stage, padded_sharding)
             stage_fn = make_sharded_fused_stage(
-                geom, solver_params, calc_mode, mesh)
+                geom, solver_params, calc_mode, mesh,
+                interpret=fused_interp)
             w_dev = jax.device_put(pad_state(w_dev, geom),
                                    padded_sharding(mesh))
             unpad = lambda y: np.asarray(unpad_state(y, geom))
@@ -249,10 +255,12 @@ def run_iteration(
         from ..ops.pallas.stencil import (
             make_delta_attempt, make_fused_stage, pad_state, unpad_state)
         if use_delta:
-            attempt_fn = make_delta_attempt(geom, solver_params, calc_mode)
+            attempt_fn = make_delta_attempt(geom, solver_params, calc_mode,
+                                            interpret=fused_interp)
             log("Fused Pallas increment-form (delta) attempt: ON\n")
         else:
-            stage_fn = make_fused_stage(geom, solver_params, calc_mode)
+            stage_fn = make_fused_stage(geom, solver_params, calc_mode,
+                                        interpret=fused_interp)
             log("Fused Pallas stage kernel: ON\n")
         w_dev = pad_state(w_dev, geom)
         unpad = lambda y: np.asarray(unpad_state(y, geom))

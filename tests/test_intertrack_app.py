@@ -182,3 +182,18 @@ class TestF32OverflowRecovery:
         assert "completed successfully" in log
         data = read_netcdf(str(tmp_path / "image.002.ncd"))
         assert np.all(np.isfinite(data.variables["u"]))
+
+
+def test_fused_interpret_paths_on_cpu(tmp_path, monkeypatch):
+    """PFT_FUSED_INTERPRET=1 drives the production fused Pallas path
+    (increment-form delta attempt for GradP f32) through the full app on
+    CPU in interpret mode — integration coverage of the code path a chip
+    run takes."""
+    monkeypatch.setenv("PFT_FUSED_INTERPRET", "1")
+    rc = run_app(tmp_path, BASE, ("--precision", "f32"))
+    assert rc == 0
+    log = (tmp_path / "intertrack.log").read_text()
+    assert "increment-form (delta) attempt: ON" in log
+    assert (tmp_path / "image.002.ncd").exists()
+    u = read_netcdf(str(tmp_path / "image.002.ncd")).variables["u"]
+    assert np.isfinite(np.asarray(u)).all()
