@@ -403,7 +403,7 @@ def make_dem_rhs(cfg: DEMConfig, dtype=jnp.float64, neighbor: str = "dense",
                          "strategy (the cell list is single-device)")
     from functools import partial as _partial
 
-    from jax.experimental.shard_map import shard_map as _shard_map
+    from jax import shard_map as _shard_map
     from jax.sharding import PartitionSpec as _P
     pspec = _P(axis_name, None)
 
@@ -411,7 +411,7 @@ def make_dem_rhs(cfg: DEMConfig, dtype=jnp.float64, neighbor: str = "dense",
         specs = {k: pspec for k in y}
         impl = _partial(_shard_map, mesh=mesh,
                         in_specs=(_P(), specs), out_specs=specs,
-                        check_rep=False)(rhs)
+                        check_vma=False)(rhs)
         return impl(jnp.asarray(t, dtype), y)
 
     return rhs_sharded

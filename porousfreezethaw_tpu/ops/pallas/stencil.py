@@ -573,7 +573,7 @@ def make_fused_stage(geom: GridGeometry, params: FreezingParams,
 
         ndim_tail = len(kshape) - 2
         if part == "edge":
-            out_specs = [pl.BlockSpec(memory_space=pltpu.ANY)] * n_out
+            out_specs = [pl.BlockSpec(memory_space=pl.ANY)] * n_out
             out_shapes = [jax.ShapeDtypeStruct(kvshape, jnp.float32)]
             if stage5:
                 out_shapes.append(jax.ShapeDtypeStruct((nb, 8, _LANES),
@@ -608,9 +608,9 @@ def make_fused_stage(geom: GridGeometry, params: FreezingParams,
             kernel,
             grid=(n_prog,),
             in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM)]
-            + [pl.BlockSpec(memory_space=pltpu.ANY)] * (nk + 1)
+            + [pl.BlockSpec(memory_space=pl.ANY)] * (nk + 1)
             + [pl.BlockSpec(memory_space=pltpu.VMEM)] * use_ghosts
-            + [pl.BlockSpec(memory_space=pltpu.ANY)] * n_prev,
+            + [pl.BlockSpec(memory_space=pl.ANY)] * n_prev,
             out_specs=out_specs if n_out > 1 else out_specs[0],
             out_shape=out_shapes if n_out > 1 else out_shapes[0],
             scratch_shapes=[pltpu.VMEM(w_scratch, jnp.float32)]
@@ -1233,7 +1233,7 @@ class FusedAttempt:
             w2_shape = jax.ShapeDtypeStruct((2,) + kshape, jnp.float32)
             if tail:
                 out_specs = [
-                    pl.BlockSpec(memory_space=pltpu.ANY),
+                    pl.BlockSpec(memory_space=pl.ANY),
                     pl.BlockSpec((1, 8, _LANES), lambda i: (i, 0, 0),
                                  memory_space=pltpu.VMEM)]
                 out_shapes = [
@@ -1245,7 +1245,7 @@ class FusedAttempt:
                     pl.BlockSpec(
                         block_shape, (lambda i: (0, i) + (0,) * ndim_tail),
                         memory_space=pltpu.VMEM),
-                    pl.BlockSpec(memory_space=pltpu.ANY)]
+                    pl.BlockSpec(memory_space=pl.ANY)]
                 out_shapes = [jax.ShapeDtypeStruct(kshape, jnp.float32),
                               w2_shape]
                 io_aliases = {2: 1}  # w2 passthrough
@@ -1253,7 +1253,7 @@ class FusedAttempt:
                 kernel,
                 grid=(nb,),
                 in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM)] * 2
-                + [pl.BlockSpec(memory_space=pltpu.ANY)] * (nk + 1),
+                + [pl.BlockSpec(memory_space=pl.ANY)] * (nk + 1),
                 out_specs=out_specs,
                 out_shape=out_shapes,
                 scratch_shapes=[pltpu.VMEM(scratch_shape, jnp.float32)

@@ -35,7 +35,7 @@ import jax.numpy as jnp
 from jax import lax
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
-from jax.experimental.shard_map import shard_map
+from jax import shard_map
 
 from ..core.grid import GridGeometry
 from ..models.freezing import physics
@@ -129,7 +129,7 @@ def make_sharded_fused_stage(geom: GridGeometry, params: FreezingParams,
         in_specs = (scal, scal, spec) + (spec,) * nk
 
         @partial(shard_map, mesh=mesh, in_specs=in_specs,
-                 out_specs=out_specs, check_rep=False)
+                 out_specs=out_specs, check_vma=False)
         def impl(t, h, w_l, *k_l):
             idx = lax.axis_index(axis_name)
             tf = jnp.asarray(t, jnp.float32)

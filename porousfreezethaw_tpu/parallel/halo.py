@@ -30,7 +30,7 @@ import jax
 import jax.numpy as jnp
 from jax import lax
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
-from jax.experimental.shard_map import shard_map
+from jax import shard_map
 
 from ..core.grid import GridGeometry
 from ..models.freezing.equation import make_rhs
@@ -78,7 +78,7 @@ def make_shard_map_rhs(geom: GridGeometry, params: FreezingParams,
     spec = P(None, axis_name, None, None)
 
     @partial(shard_map, mesh=mesh, in_specs=(P(), spec), out_specs=spec,
-             check_rep=False)
+             check_vma=False)
     def rhs_sharded(t, w_local):
         idx = lax.axis_index(axis_name)
         from_below, from_above = halo_exchange_z(w_local, axis_name)
