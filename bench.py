@@ -78,7 +78,7 @@ BASELINE_DEM_PARTICLE_EVALS_PER_S = 820.0
 # f-evals / 37,059 s (BASELINE.md spheres_200_dense.log)
 
 
-def bench_dem(args, neighbor="dense", n_spheres=None):
+def bench_dem(args, neighbor="dense", n_spheres=None, chunk_cap=512):
     import jax
     import jax.numpy as jnp
     from porousfreezethaw_tpu.models.dem import (
@@ -99,7 +99,7 @@ def bench_dem(args, neighbor="dense", n_spheres=None):
     # with a very large baked trip count reproducibly faults the axon
     # TPU worker (PERFORMANCE.md known issue); <=512-attempt programs
     # are clean and the chunk boundary costs one scalar fetch
-    chunk = min(steps, 512)
+    chunk = min(steps, chunk_cap)
     params = MersonParams(delta=cfg.delta, h_min=cfg.ht_min, max_steps=chunk,
                           handle_nan=True)
     solve = jax.jit(lambda st: merson_solve(rhs, st, 1e9, params))
@@ -371,21 +371,49 @@ def main():
             yield
 
     if args.matrix:
+        # the axon remote worker occasionally dies mid-solve on
+        # large-trip-count programs (PERFORMANCE.md known issue) and
+        # takes minutes to come back; one flaky row must not lose the
+        # whole matrix, so each row is retried once after a recovery
+        # wait (DEM rows with a halved solve chunk) and recorded as an
+        # error row if it still fails.
+        def row(fn, label, **kw):
+            for attempt in (0, 1):
+                try:
+                    return fn(args, **kw)
+                except Exception as e:  # noqa: BLE001 — record + continue
+                    log(f"{label}: {type(e).__name__}: {e}")
+                    if attempt:
+                        return {"metric": label, "value": None,
+                                "unit": None, "vs_baseline": None,
+                                "error": f"{type(e).__name__}: {e}"}
+                    log(f"{label}: waiting 240s for the TPU worker to "
+                        f"recover, then retrying once...")
+                    time.sleep(240)
+                    if "chunk_cap" in kw:
+                        kw["chunk_cap"] = max(64, kw["chunk_cap"] // 2)
+
         results = []
         for gn in (100, 200, 400):
             for cm in (0, 1, 2):
-                rec = bench_freezing(args, grid_nodes=gn, calc_mode=cm)
+                rec = row(bench_freezing, f"freezing_{gn}_{cm}",
+                          grid_nodes=gn, calc_mode=cm)
                 results.append(rec)
                 print(json.dumps(rec), flush=True)
         for n, nb in ((200, "dense"), (2000, "cell_roll"),
                       (20000, "cell_roll")):
-            rec = bench_dem(args, neighbor=nb, n_spheres=n)
+            rec = row(bench_dem, f"dem_{n}_{nb}", neighbor=nb,
+                      n_spheres=n, chunk_cap=256)
             results.append(rec)
             print(json.dumps(rec), flush=True)
         with open("BENCH_MATRIX.json", "w") as f:
             json.dump(results, f, indent=1)
-        headline = next(r for r in results
-                        if r["metric"] == "freezing_gradp_cell_rhs_evals_per_s")
+        headline = next(
+            (r for r in results
+             if r["metric"] == "freezing_gradp_cell_rhs_evals_per_s"),
+            {"metric": "freezing_gradp_cell_rhs_evals_per_s",
+             "value": None, "unit": None, "vs_baseline": None,
+             "error": "headline row failed; see BENCH_MATRIX.json"})
         print(json.dumps(headline))
         return
 
