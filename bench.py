@@ -400,10 +400,15 @@ def main():
                           grid_nodes=gn, calc_mode=cm)
                 results.append(rec)
                 print(json.dumps(rec), flush=True)
-        for n, nb in ((200, "dense"), (2000, "cell_roll"),
-                      (20000, "cell_roll")):
+        # dense wins on-chip through n=2000 (the 16x16 capacity blocks
+        # of the cell strategies pad 8x against the 128-lane tiling —
+        # measured 50x slower than dense at n=2000, compile-OOM at
+        # n=20000; PERFORMANCE.md known issue); the cell_roll row is
+        # kept as the measured record of that gap
+        for n, nb in ((200, "dense"), (2000, "dense"),
+                      (2000, "cell_roll")):
             rec = row(bench_dem, f"dem_{n}_{nb}", neighbor=nb,
-                      n_spheres=n, chunk_cap=256)
+                      n_spheres=n, chunk_cap=512)
             results.append(rec)
             print(json.dumps(rec), flush=True)
         with open("BENCH_MATRIX.json", "w") as f:
