@@ -219,6 +219,18 @@ def run_iteration(
                     and jax.devices()[0].platform == "cpu")
     fused_ok = (np.dtype(dtype) == np.float32 and noise is None
                 and (jax.devices()[0].platform != "cpu" or fused_interp))
+    # GradP defaults to the increment-form (delta) attempt on the f32
+    # production paths: the exact f(w+d)-f(w) kernels remove the f32
+    # stage-state rounding floor from the error estimator entirely
+    # (models/freezing/delta.py), so the controller follows the
+    # reference f64 step sizes with no noise-floor escape needed —
+    # this is what un-inflates the stiff GradP step counts (2.6x at
+    # MR) and un-pins the thaw onset.  Temp/SigmaP keep the cheaper
+    # classic stage kernels (their floors sit below the controller
+    # fixed point; measured inflation only 1.05-1.07x).  Overridable
+    # as a Params variable (`increment_form 0|1`).
+    use_delta = bool(pf.vars.get(
+        "increment_form", 1.0 if calc_mode in (0, 10) else 0.0))
     if mesh_axes:
         mesh = make_mesh(mesh_axes)
         log("Device mesh: %s\n", dict(zip(mesh.axis_names, mesh.devices.shape)))
@@ -226,32 +238,31 @@ def run_iteration(
         if (fused_ok and set(mesh.axis_names) == {"z"}
                 and geom.n3 % nz == 0 and geom.n3 // nz >= 2):
             # sharded fused Pallas path: per-stage z-halo ppermute over
-            # the ICI ring inside the stage kernels (parallel/fused.py)
+            # the ICI ring inside the stage kernels (parallel/fused.py);
+            # the increment form rides the mesh too (ShardedDeltaAttempt)
             from ..ops.pallas.stencil import pad_state, unpad_state
             from ..parallel.fused import (
-                make_sharded_fused_stage, padded_sharding)
-            stage_fn = make_sharded_fused_stage(
-                geom, solver_params, calc_mode, mesh,
-                interpret=fused_interp)
+                make_sharded_delta_attempt, make_sharded_fused_stage,
+                padded_sharding)
+            if use_delta:
+                attempt_fn = make_sharded_delta_attempt(
+                    geom, solver_params, calc_mode, mesh,
+                    interpret=fused_interp)
+                log("Fused Pallas increment-form (delta) attempt: ON "
+                    "(sharded over z=%d)\n", nz)
+            else:
+                stage_fn = make_sharded_fused_stage(
+                    geom, solver_params, calc_mode, mesh,
+                    interpret=fused_interp)
+                log("Fused Pallas stage kernel: ON (sharded over z=%d)\n",
+                    nz)
             w_dev = jax.device_put(pad_state(w_dev, geom),
                                    padded_sharding(mesh))
             unpad = lambda y: np.asarray(unpad_state(y, geom))
-            log("Fused Pallas stage kernel: ON (sharded over z=%d)\n", nz)
         else:
             w_dev = shard_freezing_state(w_dev, mesh)
     elif fused_ok:
-        # single-device TPU f32.  GradP defaults to the increment-form
-        # (delta) attempt: the exact f(w+d)-f(w) kernels remove the f32
-        # stage-state rounding floor from the error estimator entirely
-        # (models/freezing/delta.py), so the controller follows the
-        # reference f64 step sizes with no noise-floor escape needed —
-        # this is what un-inflates the stiff GradP step counts (2.6x at
-        # MR) and un-pins the thaw onset.  Temp/SigmaP keep the cheaper
-        # classic stage kernels (their floors sit below the controller
-        # fixed point; measured inflation only 1.05-1.07x).  Overridable
-        # as a Params variable (`increment_form 0|1`).
-        use_delta = bool(pf.vars.get(
-            "increment_form", 1.0 if calc_mode in (0, 10) else 0.0))
+        # single-device TPU f32
         from ..ops.pallas.stencil import (
             make_delta_attempt, make_fused_stage, pad_state, unpad_state)
         if use_delta:
@@ -299,11 +310,17 @@ def run_iteration(
     want_service = debug_log is not None or bool(trigger_file)
     platform = jax.devices()[0].platform
 
-    if want_service and (platform != "cpu" or mesh_axes):
-        # io_callback does not work through the remote-TPU tunnel, and a
-        # side-effecting callback cannot be partitioned over a mesh; run
-        # the solve in chunks with device-side (t, h) trace recording and
-        # do the service work on the host between chunks.  Trigger-file
+    if platform != "cpu" or (want_service and mesh_axes):
+        # Chunked solve calls — ALWAYS on an accelerator, service or not:
+        # a while_loop compiled with a large trip count baked in
+        # reproducibly faults the axon remote TPU worker (isolated in
+        # scripts/repros/_bisect*.py; PERFORMANCE.md "known issue"), so
+        # the per-call attempt bound must stay at the validated chunk
+        # size — do not raise PFT_SERVICE_CHUNK beyond ~1024 on TPU.
+        # The service path needs chunking anyway: io_callback does not
+        # work through the remote-TPU tunnel, and a side-effecting
+        # callback cannot be partitioned over a mesh; the (t, h) trace is
+        # recorded on device and drained between chunks.  Trigger-file
         # latency becomes `chunk` steps instead of one — the only
         # observable difference from the reference's per-step callback.
         import dataclasses as _dc
@@ -430,7 +447,8 @@ def run_iteration(
             t=float(state.t), final_time=final_time, snapshot=(
                 snapshot - 1 if is_on_demand else snapshot),
             total_snapshots=total_snapshots, comment=comment)
-        if mesh_axes and stage_fn is None and pf.grid_io_mode == "inner":
+        if (mesh_axes and stage_fn is None and attempt_fn is None
+                and pf.grid_io_mode == "inner"):
             # gather-free path: unshift on device (sharding preserved),
             # each shard's block written directly into the file
             # (the fused path's padded layout goes through the gathered

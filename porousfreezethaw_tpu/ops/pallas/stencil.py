@@ -199,13 +199,15 @@ def _compute_rhs(mode: CalcMode, prm: FreezingParams, coeffs, geom,
 def _pick_bz(geom: GridGeometry, n_inputs: int, layout: str,
              vmem_budget=15 * 2**20, kvars: int = K_VARS,
              buffers: int = 1) -> int:
-    """Largest z-block whose *scoped* VMEM footprint fits the 16 MB
-    Mosaic stack limit.  Model (in single-variable planes, validated
-    against compile-time OOM reports at the HR grid): explicit scratch
-    slabs — the 3-variable ``w`` plus ``kvars`` planes per K input,
-    times ``buffers`` (2 for the auto-pipelined kernel's double
-    buffering) — + ~24*bz for the neighbor-dict / RHS intermediates +
-    ~12 fixed."""
+    """Largest z-block whose *scoped* VMEM footprint fits the
+    caller-supplied budget (default ~15 MB under Mosaic's standard
+    scoped-vmem limit; ``_validated_budget`` may escalate it up to
+    96 MB behind a raised 120 MB limit for large planes).  Model (in
+    single-variable planes, validated against compile-time OOM reports
+    at the HR grid): explicit scratch slabs — the 3-variable ``w`` plus
+    ``kvars`` planes per K input, times ``buffers`` (2 for the
+    auto-pipelined kernel's double buffering) — + ~24*bz for the
+    neighbor-dict / RHS intermediates + ~12 fixed."""
     if layout == "flat":
         vplane = flat_extent(geom) * 4
     else:
@@ -222,16 +224,20 @@ def _pick_bz(geom: GridGeometry, n_inputs: int, layout: str,
 
 
 # compile-probe fallback around _pick_bz's empirical VMEM model:
-# (budget, Mosaic scoped-vmem limit) per (padded shape, layout, kind),
-# lowered until the heaviest kernel variant actually compiles (Mosaic
-# reports scoped-VMEM overflow at compile time, so an unvalidated shape
-# would otherwise hard-fail)
+# (budget, Mosaic scoped-vmem limit) per (padded shape, layout, kind,
+# user vmem_limit_mb), lowered until the heaviest kernel variant
+# actually compiles (Mosaic reports scoped-VMEM overflow at compile
+# time, so an unvalidated shape would otherwise hard-fail).  The user
+# limit is part of the key: an escalated budget cached for the default
+# limit must not leak into a builder constructed with an explicit
+# (smaller) vmem_limit_mb — that combination was never probed.
 _BUDGET_SCALE: Dict[tuple, tuple] = {}
 
 
 def _validated_budget(geom: GridGeometry, layout: str, probe,
                       kind: str, kvars: int = K_VARS,
-                      buffers: int = 1, escalate: bool = True) -> tuple:
+                      buffers: int = 1, escalate: bool = True,
+                      user_limit_mb: int = 0) -> tuple:
     """Return ``(budget_bytes, limit_mb)`` for ``_pick_bz`` such that
     ``probe(bz, limit_mb)`` — an AOT compile of the builder's heaviest
     kernel variant (the stage-5 / tail kernel, 4 input slabs) under a
@@ -246,7 +252,7 @@ def _validated_budget(geom: GridGeometry, layout: str, probe,
     limit itself costs ~12% where the default budget already gives deep
     blocks (MR), so escalation only triggers in the small-bz regime, and
     each escalated tier must pass the compile probe before being kept."""
-    key = (padded_shape(geom, layout), layout, kind)
+    key = (padded_shape(geom, layout), layout, kind, user_limit_mb)
     base = 15 * 2**20
     if key in _BUDGET_SCALE:
         return _BUDGET_SCALE[key]
@@ -727,22 +733,35 @@ def make_fused_stage(geom: GridGeometry, params: FreezingParams,
                     k_s = jax.ShapeDtypeStruct(kvshape, jnp.float32)
                     g_s = [jax.ShapeDtypeStruct((4, 3) + kshape[2:],
                                                 jnp.float32)] * n_ghost
+                    scal5 = jax.ShapeDtypeStruct((1, 5), jnp.float32)
                     if pipelined:
                         call = build_call_pipe(3, bz_, stage5=True)
-                        args = ([jax.ShapeDtypeStruct((1, 5), jnp.float32)]
-                                + [w_s] * 3 + [k_s] * 9 + g_s)
+                        args = [scal5] + [w_s] * 3 + [k_s] * 9 + g_s
                     else:
                         call = build_call(3, bz_, stage5=True)
-                        args = ([jax.ShapeDtypeStruct((1, 5), jnp.float32),
-                                 w_s] + [k_s] * 3 + g_s)
+                        args = [scal5, w_s] + [k_s] * 3 + g_s
                     with jax.enable_x64(False):
                         jax.jit(call).lower(*args).compile()
+                        if shard_ghosts and pipelined and Z // bz_ >= 3:
+                            # the overlap split's edge pass always uses
+                            # the manual-DMA kernel at the same bz —
+                            # validate it at this tier too, or escalation
+                            # could pick blocks the edge kernel cannot
+                            # compile (advisor r3)
+                            nb_ = Z // bz_
+                            edge = build_call(3, bz_, stage5=True,
+                                              part="edge")
+                            prev = [k_s, jax.ShapeDtypeStruct(
+                                (nb_, 8, _LANES), jnp.float32)]
+                            eargs = [scal5, w_s] + [k_s] * 3 + g_s + prev
+                            jax.jit(edge).lower(*eargs).compile()
                 kind = ("pipe-" if pipelined else "") + (
                     "stage-ghost" if shard_ghosts else "stage")
                 b, lim = _validated_budget(
                     geom_local, layout, probe, kind, kvars=K_VARS,
                     buffers=2 if pipelined else 1,
-                    escalate=not vmem_limit_mb)
+                    escalate=not vmem_limit_mb,
+                    user_limit_mb=vmem_limit_mb)
                 vlim_ref[0] = vmem_limit_mb or lim
                 budget_ref.append(b)
         return budget_ref[0]
@@ -864,6 +883,210 @@ def make_fused_stage(geom: GridGeometry, params: FreezingParams,
 # increment-form (delta) attempt: the f32 noise-floor-free production path
 # ---------------------------------------------------------------------------
 
+def make_delta_g(geom: GridGeometry, params: FreezingParams,
+                 calc_mode: int, *, bz: int = 0,
+                 layout: str = DEFAULT_LAYOUT, interpret: bool = False,
+                 vmem_limit_mb: int = 0, n3_local: int = 0,
+                 shard_ghosts: bool = False):
+    """Build the increment-form stage kernel
+    ``g(h, D1, dDi, w, ks, ghosts=(), is_top=None, stage5=False)``
+    computing ``G = f(w + d) - f(w)`` with ``d = h * sum(c_i K_i)``
+    assembled in VMEM (models/freezing/delta.py).
+
+    ``n3_local``/``shard_ghosts`` adapt the kernel to one z-shard of a
+    device mesh exactly like ``make_fused_stage``: the kernel covers
+    ``n3_local`` planes and takes two ghost-plane stacks of shape
+    ``(nk+1, 3) + plane`` — one raw edge plane per input (w and each
+    K/G; K entries carry the K_VARS dynamic variables) — overwriting the
+    clamped edge planes of the first/last z-block.  ``is_top`` (f32
+    scalar, default 1) gates the Dirichlet chain-end overwrites (old u
+    ghost := D(t1), increment u ghost := D(ti)-D(t1)) so only the
+    global-top shard applies them; the d-ghost is otherwise assembled
+    from the raw K/G ghost planes by the kernel's own combination
+    arithmetic, keeping sharded == single-device bitwise."""
+    from ...models.freezing.delta import compute_rhs_delta
+    mode = CalcMode(calc_mode)
+    prm = params
+    coeffs = physics.Coeffs.of(prm)
+    Z = n3_local or geom.n3
+    import dataclasses as _dc
+    geom_local = _dc.replace(geom, n3=Z) if n3_local else geom
+    kshape = (N_VARS, Z) + padded_shape(geom, layout)[2:]
+    kvshape = (K_VARS, Z) + padded_shape(geom, layout)[2:]
+    neighbors = _make_neighbors(geom, layout)
+    n_ghost = 2 if shard_ghosts else 0
+    calls = {}
+    vlim_ref = [vmem_limit_mb]
+
+    def build_g(nk: int, bz_: int, stage5: bool):
+        """Pipelined G kernel: inputs w + nk K/G arrays as
+        (center, prev, next) triplets; scal = [h, D1, dDi, is_top, c...]."""
+        nb = Z // bz_
+        ndim_tail = len(kshape) - 2
+        k_block = (K_VARS, bz_) + kshape[2:]
+        use_ghosts = n_ghost
+
+        def kernel(scal_ref, *refs):
+            ins = refs[:3 * (nk + 1)]
+            ghosts = refs[3 * (nk + 1):3 * (nk + 1) + use_ghosts]
+            outs = refs[3 * (nk + 1) + use_ghosts:]
+            i = jnp.asarray(pl.program_id(0), jnp.int32)
+            last = i == nb - 1
+            h = scal_ref[0, 0]
+            D1 = scal_ref[0, 1]
+            dDi = scal_ref[0, 2]
+            is_top = scal_ref[0, 3] > 0.5
+            slabs = []
+            for a in range(nk + 1):
+                cen = ins[3 * a][:]
+                prv = ins[3 * a + 1][:]
+                nxt = ins[3 * a + 2][:]
+                slab = jnp.concatenate([prv, cen, nxt], axis=1)
+                if use_ghosts:
+                    # shard-boundary planes from the caller (neighbor
+                    # ppermute or chain-end mirror) replace the locally
+                    # clamped edge planes
+                    nv = slab.shape[0]
+                    pidg = lax.broadcasted_iota(jnp.int32, slab.shape, 1)
+                    glo = ghosts[0][a, :nv][:, None]
+                    ghi = ghosts[1][a, :nv][:, None]
+                    slab = jnp.where((i == 0) & (pidg == 0), glo, slab)
+                    slab = jnp.where(last & (pidg == bz_ + 1), ghi, slab)
+                slabs.append(slab)
+            wsl = slabs[0]
+            # Dirichlet old ghost: u top plane := D(t1) (global top only)
+            pidx = lax.broadcasted_iota(jnp.int32, wsl.shape, 1)
+            var = lax.broadcasted_iota(jnp.int32, wsl.shape, 0)
+            wsl = jnp.where(last & is_top & (pidx == bz_ + 1) & (var == 0),
+                            D1, wsl)
+            # delta slab in VMEM: d = h * (c0 K1 + sum c_j G_j);
+            # the z-clamped triplets (or ghost planes) make its mirror
+            # ghosts exact
+            dsl = (h * scal_ref[0, 4]) * slabs[1]
+            for a in range(1, nk):
+                dsl = dsl + (h * scal_ref[0, 4 + a]) * slabs[1 + a]
+            # Dirichlet increment ghost: a top plane := D(ti)-D(t1)
+            pidd = lax.broadcasted_iota(jnp.int32, dsl.shape, 1)
+            vard = lax.broadcasted_iota(jnp.int32, dsl.shape, 0)
+            dsl = jnp.where(last & is_top & (pidd == bz_ + 1) & (vard == 0),
+                            dDi, dsl)
+
+            fields = {"u": wsl[0], "p": wsl[1], "gl": wsl[2],
+                      "a": dsl[0], "b": dsl[1]}
+            n, valid = neighbors(fields, last, bz_)
+            gu, gp = compute_rhs_delta(mode, prm, coeffs, geom, n)
+            zero = jnp.zeros_like(gu)
+            g_out = jnp.stack([jnp.where(valid, gu, zero),
+                               jnp.where(valid, gp, zero)]
+                              ).astype(jnp.float32)
+            if not stage5:
+                outs[0][:] = g_out
+                return
+            # tail: estimator from the G's only + speculative update
+            C = slice(1, bz_ + 1)
+            k1c = slabs[1][:, C]
+            g3c = slabs[2][:, C]
+            g4c = slabs[3][:, C]
+            err = -0.9 * g3c + 0.8 * g4c - 0.1 * g_out
+            eps = jnp.max(jnp.abs(err))
+            y_out = (slabs[0][:K_VARS, C] + h * k1c
+                     + (h / 3.0) * (2.0 * g4c + 0.5 * g_out))
+            outs[0][:] = y_out
+            outs[1][:] = jnp.broadcast_to(eps, outs[1].shape)
+
+        zeros = (0,) * ndim_tail
+        in_specs = [pl.BlockSpec(memory_space=pltpu.SMEM)]
+        for a in range(nk + 1):
+            nv = N_VARS if a == 0 else K_VARS
+            in_specs += [
+                pl.BlockSpec((nv, bz_) + kshape[2:],
+                             lambda i: (0, i) + zeros,
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((nv, 1) + kshape[2:],
+                             lambda i: (0, jnp.maximum(i * bz_ - 1, 0))
+                             + zeros, memory_space=pltpu.VMEM),
+                pl.BlockSpec(
+                    (nv, 1) + kshape[2:],
+                    lambda i: (0, jnp.minimum(i * bz_ + bz_, Z - 1))
+                    + zeros, memory_space=pltpu.VMEM),
+            ]
+        in_specs += [pl.BlockSpec(memory_space=pltpu.VMEM)] * use_ghosts
+        out_specs = [pl.BlockSpec(k_block, lambda i: (0, i) + zeros,
+                                  memory_space=pltpu.VMEM)]
+        out_shapes = [jax.ShapeDtypeStruct(kvshape, jnp.float32)]
+        if stage5:
+            out_specs.append(pl.BlockSpec((1, 8, _LANES),
+                                          lambda i: (i, 0, 0),
+                                          memory_space=pltpu.VMEM))
+            out_shapes.append(jax.ShapeDtypeStruct((nb, 8, _LANES),
+                                                   jnp.float32))
+        return pl.pallas_call(
+            kernel,
+            grid=(nb,),
+            in_specs=in_specs,
+            out_specs=out_specs if stage5 else out_specs[0],
+            out_shape=out_shapes if stage5 else out_shapes[0],
+            compiler_params=(pltpu.CompilerParams(
+                vmem_limit_bytes=vlim_ref[0] * 2**20)
+                if vlim_ref[0] and not interpret else None),
+            interpret=interpret,
+        )
+
+    budget_ref: list = []
+
+    def _budget() -> int:
+        if not budget_ref:
+            if interpret or jax.devices()[0].platform == "cpu":
+                budget_ref.append(15 * 2**20)
+            else:
+                def probe(bz_, lim_mb):
+                    vlim_ref[0] = vmem_limit_mb or lim_mb
+                    w_s = jax.ShapeDtypeStruct(kshape, jnp.float32)
+                    k_s = jax.ShapeDtypeStruct(kvshape, jnp.float32)
+                    g_s = [jax.ShapeDtypeStruct((4, 3) + kshape[2:],
+                                                jnp.float32)] * n_ghost
+                    call = build_g(3, bz_, stage5=True)
+                    args = ([jax.ShapeDtypeStruct((1, 7), jnp.float32)]
+                            + [w_s] * 3 + [k_s] * 9 + g_s)
+                    with jax.enable_x64(False):
+                        jax.jit(call).lower(*args).compile()
+                b, lim = _validated_budget(
+                    geom_local, layout, probe,
+                    "delta-ghost" if shard_ghosts else "delta",
+                    kvars=K_VARS, buffers=2,
+                    escalate=not vmem_limit_mb,
+                    user_limit_mb=vmem_limit_mb)
+                vlim_ref[0] = vmem_limit_mb or lim
+                budget_ref.append(b)
+        return budget_ref[0]
+
+    def g_call(h, D1, dDi, w, ks, ghosts=(), is_top=None, stage5=False):
+        nk = len(ks)
+        if len(ghosts) != n_ghost:
+            raise ValueError(
+                f"expected {n_ghost} ghost stacks, got {len(ghosts)}")
+        bz_ = bz or _pick_bz(geom_local, nk + 1, layout,
+                             vmem_budget=_budget(), buffers=2)
+        key = (nk, bz_, stage5)
+        if key not in calls:
+            calls[key] = build_g(nk, bz_, stage5)
+        top = 1.0 if is_top is None else is_top
+        scal = jnp.concatenate([
+            jnp.reshape(jnp.asarray(h, jnp.float32), (1,)),
+            jnp.reshape(jnp.asarray(D1, jnp.float32), (1,)),
+            jnp.reshape(jnp.asarray(dDi, jnp.float32), (1,)),
+            jnp.reshape(jnp.asarray(top, jnp.float32), (1,)),
+            jnp.asarray([c for c, _ in ks], jnp.float32).reshape(nk),
+        ]).reshape(1, nk + 4)
+        ops = []
+        for arr in [w] + [k for _, k in ks]:
+            ops += [arr, arr, arr]
+        with jax.enable_x64(False):
+            return calls[key](scal, *ops, *ghosts)
+
+    return g_call
+
+
 class DeltaAttempt:
     """Merson attempt in increment form (models/freezing/delta.py).
 
@@ -885,167 +1108,17 @@ class DeltaAttempt:
                  calc_mode: int, *, bz: int = 0,
                  layout: str = DEFAULT_LAYOUT, interpret: bool = False,
                  vmem_limit_mb: int = 0):
-        from ...models.freezing.delta import compute_rhs_delta
         self.geom = geom
         self.layout = layout
         self.kshape = padded_shape(geom, layout)
+        self._kvshape = padded_k_shape(geom, layout)
         self._prm = params
         self._stage1 = make_fused_stage(
             geom, params, calc_mode, bz=bz, layout=layout,
             interpret=interpret, vmem_limit_mb=vmem_limit_mb)
-        mode = CalcMode(calc_mode)
-        prm = params
-        coeffs = physics.Coeffs.of(prm)
-        Z = geom.n3
-        kshape = self.kshape
-        kvshape = padded_k_shape(geom, layout)
-        self._kvshape = kvshape
-        neighbors = _make_neighbors(geom, layout)
-        calls = {}
-
-        def build_g(nk: int, bz_: int, stage5: bool):
-            """Pipelined G kernel: inputs w + nk K/G arrays as
-            (center, prev, next) triplets; scal = [h, D1, dDi, c...]."""
-            nb = Z // bz_
-            ndim_tail = len(kshape) - 2
-            k_block = (K_VARS, bz_) + kshape[2:]
-
-            def kernel(scal_ref, *refs):
-                ins = refs[:3 * (nk + 1)]
-                outs = refs[3 * (nk + 1):]
-                i = jnp.asarray(pl.program_id(0), jnp.int32)
-                last = i == nb - 1
-                h = scal_ref[0, 0]
-                D1 = scal_ref[0, 1]
-                dDi = scal_ref[0, 2]
-                slabs = []
-                for a in range(nk + 1):
-                    cen = ins[3 * a][:]
-                    prv = ins[3 * a + 1][:]
-                    nxt = ins[3 * a + 2][:]
-                    slabs.append(jnp.concatenate([prv, cen, nxt], axis=1))
-                wsl = slabs[0]
-                # Dirichlet old ghost: u top plane := D(t1)
-                pidx = lax.broadcasted_iota(jnp.int32, wsl.shape, 1)
-                var = lax.broadcasted_iota(jnp.int32, wsl.shape, 0)
-                wsl = jnp.where(last & (pidx == bz_ + 1) & (var == 0),
-                                D1, wsl)
-                # delta slab in VMEM: d = h * (c0 K1 + sum c_j G_j);
-                # the z-clamped triplets make its mirror ghosts exact
-                dsl = (h * scal_ref[0, 3]) * slabs[1]
-                for a in range(1, nk):
-                    dsl = dsl + (h * scal_ref[0, 3 + a]) * slabs[1 + a]
-                # Dirichlet increment ghost: a top plane := D(ti)-D(t1)
-                pidd = lax.broadcasted_iota(jnp.int32, dsl.shape, 1)
-                vard = lax.broadcasted_iota(jnp.int32, dsl.shape, 0)
-                dsl = jnp.where(last & (pidd == bz_ + 1) & (vard == 0),
-                                dDi, dsl)
-
-                fields = {"u": wsl[0], "p": wsl[1], "gl": wsl[2],
-                          "a": dsl[0], "b": dsl[1]}
-                n, valid = neighbors(fields, last, bz_)
-                gu, gp = compute_rhs_delta(mode, prm, coeffs, geom, n)
-                zero = jnp.zeros_like(gu)
-                g_out = jnp.stack([jnp.where(valid, gu, zero),
-                                   jnp.where(valid, gp, zero)]
-                                  ).astype(jnp.float32)
-                if not stage5:
-                    outs[0][:] = g_out
-                    return
-                # tail: estimator from the G's only + speculative update
-                C = slice(1, bz_ + 1)
-                k1c = slabs[1][:, C]
-                g3c = slabs[2][:, C]
-                g4c = slabs[3][:, C]
-                err = -0.9 * g3c + 0.8 * g4c - 0.1 * g_out
-                eps = jnp.max(jnp.abs(err))
-                y_out = (slabs[0][:K_VARS, C] + h * k1c
-                         + (h / 3.0) * (2.0 * g4c + 0.5 * g_out))
-                outs[0][:] = y_out
-                outs[1][:] = jnp.broadcast_to(eps, outs[1].shape)
-
-            zeros = (0,) * ndim_tail
-            in_specs = [pl.BlockSpec(memory_space=pltpu.SMEM)]
-            for a in range(nk + 1):
-                nv = N_VARS if a == 0 else K_VARS
-                in_specs += [
-                    pl.BlockSpec((nv, bz_) + kshape[2:],
-                                 lambda i: (0, i) + zeros,
-                                 memory_space=pltpu.VMEM),
-                    pl.BlockSpec((nv, 1) + kshape[2:],
-                                 lambda i: (0, jnp.maximum(i * bz_ - 1, 0))
-                                 + zeros, memory_space=pltpu.VMEM),
-                    pl.BlockSpec(
-                        (nv, 1) + kshape[2:],
-                        lambda i: (0, jnp.minimum(i * bz_ + bz_, Z - 1))
-                        + zeros, memory_space=pltpu.VMEM),
-                ]
-            out_specs = [pl.BlockSpec(k_block, lambda i: (0, i) + zeros,
-                                      memory_space=pltpu.VMEM)]
-            out_shapes = [jax.ShapeDtypeStruct(kvshape, jnp.float32)]
-            if stage5:
-                out_specs.append(pl.BlockSpec((1, 8, _LANES),
-                                              lambda i: (i, 0, 0),
-                                              memory_space=pltpu.VMEM))
-                out_shapes.append(jax.ShapeDtypeStruct((nb, 8, _LANES),
-                                                       jnp.float32))
-            return pl.pallas_call(
-                kernel,
-                grid=(nb,),
-                in_specs=in_specs,
-                out_specs=out_specs if stage5 else out_specs[0],
-                out_shape=out_shapes if stage5 else out_shapes[0],
-                compiler_params=(pltpu.CompilerParams(
-                    vmem_limit_bytes=vlim_ref[0] * 2**20)
-                    if vlim_ref[0] and not interpret else None),
-                interpret=interpret,
-            )
-
-        budget_ref: list = []
-        vlim_ref = [vmem_limit_mb]
-
-        def _budget() -> int:
-            if not budget_ref:
-                if interpret or jax.devices()[0].platform == "cpu":
-                    budget_ref.append(15 * 2**20)
-                else:
-                    def probe(bz_, lim_mb):
-                        vlim_ref[0] = vmem_limit_mb or lim_mb
-                        w_s = jax.ShapeDtypeStruct(kshape, jnp.float32)
-                        k_s = jax.ShapeDtypeStruct(kvshape, jnp.float32)
-                        call = build_g(3, bz_, stage5=True)
-                        args = ([jax.ShapeDtypeStruct((1, 6), jnp.float32)]
-                                + [w_s] * 3 + [k_s] * 9)
-                        with jax.enable_x64(False):
-                            jax.jit(call).lower(*args).compile()
-                    b, lim = _validated_budget(
-                        geom, layout, probe, "delta",
-                        kvars=K_VARS, buffers=2,
-                        escalate=not vmem_limit_mb)
-                    vlim_ref[0] = vmem_limit_mb or lim
-                    budget_ref.append(b)
-            return budget_ref[0]
-
-        def g_call(h, D1, dDi, w, ks, stage5=False):
-            nk = len(ks)
-            bz_ = bz or _pick_bz(geom, nk + 1, layout,
-                                 vmem_budget=_budget(), buffers=2)
-            key = (nk, bz_, stage5)
-            if key not in calls:
-                calls[key] = build_g(nk, bz_, stage5)
-            scal = jnp.concatenate([
-                jnp.reshape(jnp.asarray(h, jnp.float32), (1,)),
-                jnp.reshape(jnp.asarray(D1, jnp.float32), (1,)),
-                jnp.reshape(jnp.asarray(dDi, jnp.float32), (1,)),
-                jnp.asarray([c for c, _ in ks], jnp.float32).reshape(nk),
-            ]).reshape(1, nk + 3)
-            ops = []
-            for arr in [w] + [k for _, k in ks]:
-                ops += [arr, arr, arr]
-            with jax.enable_x64(False):
-                return calls[key](scal, *ops)
-
-        self._g = g_call
+        self._g = make_delta_g(
+            geom, params, calc_mode, bz=bz, layout=layout,
+            interpret=interpret, vmem_limit_mb=vmem_limit_mb)
 
     # --- merson_solve attempt_fn protocol ---
 

@@ -40,7 +40,8 @@ from jax import shard_map
 from ..core.grid import GridGeometry
 from ..models.freezing import physics
 from ..models.freezing.parameters import FreezingParams
-from ..ops.pallas.stencil import make_fused_stage, padded_shape
+from ..ops.pallas.stencil import (
+    K_VARS, make_delta_g, make_fused_stage, padded_shape)
 
 
 def padded_sharding(mesh: Mesh, axis_name: str = "z") -> NamedSharding:
@@ -208,3 +209,149 @@ def make_sharded_fused_stage(geom: GridGeometry, params: FreezingParams,
     stage.commit = commit
     stage.k_partial = True
     return stage
+
+
+class ShardedDeltaAttempt:
+    """The increment-form (delta) Merson attempt over a device mesh.
+
+    Composes the single-shard G kernels (``make_delta_g`` with
+    ``shard_ghosts=True``) with the same per-stage raw-edge-plane
+    ppermute protocol as ``make_sharded_fused_stage``: each G stage
+    exchanges the edge planes of ``w`` and of every K/G entering its
+    delta combination ``d = h * sum(c_i K_i)`` with the z-neighbors, and
+    the kernel assembles the d-ghost from the raw planes itself — so
+    sharded and single-device results agree bitwise.  Stage 1
+    (``K1 = f(w)``) reuses the classic sharded fused stage, whose ghost
+    contract is identical at nk=0.
+
+    Chain ends: mirror ghosts are each shard's own edge planes; the
+    Dirichlet top enters through the kernel's ``is_top``-gated
+    overwrites (old u-ghost := D(t1), increment u-ghost := D(ti)-D(t1)
+    — the exact ghost contract of models/freezing/delta.py), applied
+    only on the global-top shard.
+
+    Implements merson_solve's ``attempt_fn`` protocol; the state is the
+    padded 3-variable array sharded over z (``padded_sharding``).  This
+    is the distributed form of the production f32 GradP path — the
+    reference's halo-in-RHS distributed solve (equation.c:290-326)
+    carrying the noise-floor-free numerics (VERDICT r3 §1).
+    """
+
+    def __init__(self, geom: GridGeometry, params: FreezingParams,
+                 calc_mode: int, mesh: Mesh, axis_name: str = "z", *,
+                 bz: int = 0, layout: str = "flat",
+                 interpret: bool = False):
+        nz = mesh.shape[axis_name]
+        Z = geom.n3
+        if Z % nz:
+            raise ValueError(f"n3={Z} not divisible by mesh {axis_name}={nz}")
+        zl = Z // nz
+        if zl < 2:
+            raise ValueError(f"shards need >= 2 z planes, have {zl}")
+        self.geom = geom
+        self.layout = layout
+        self.kshape = padded_shape(geom, layout)
+        self._prm = params
+        self._mesh = mesh
+        self._axis = axis_name
+        self._nz = nz
+        self._stage1 = make_sharded_fused_stage(
+            geom, params, calc_mode, mesh, axis_name, bz=bz, layout=layout,
+            interpret=interpret)
+        self._inner_g = make_delta_g(
+            geom, params, calc_mode, bz=bz, layout=layout,
+            interpret=interpret, n3_local=zl, shard_ghosts=True)
+        self._calls = {}
+        self._up = [(i, (i + 1) % nz) for i in range(nz)]
+        self._down = [(i, (i - 1) % nz) for i in range(nz)]
+
+    def _g(self, h, D1, dDi, w, ks, stage5=False):
+        axis = self._axis
+        nz = self._nz
+        spec = P(None, axis, None, None)
+        scal = P()
+        coefs = tuple(c for c, _ in ks)
+        key = (coefs, stage5)
+        if key not in self._calls:
+            nk = len(coefs)
+            eps_spec = P(axis, None, None)
+            out_specs = (spec, eps_spec) if stage5 else spec
+            in_specs = (scal, scal, scal, spec) + (spec,) * nk
+
+            @partial(shard_map, mesh=self._mesh, in_specs=in_specs,
+                     out_specs=out_specs, check_vma=False)
+            def impl(h_, D1_, dDi_, w_l, *k_l):
+                idx = lax.axis_index(axis)
+                # raw edge planes of every input, stacked
+                # (nk+1, 3) + plane; K/G planes carry the K_VARS dynamic
+                # variables, zero-padded to a uniform stack (the kernel
+                # reads back only the dynamic ones)
+                zpl = jnp.zeros_like(w_l[K_VARS:K_VARS + 1, 0])
+
+                def kpl(k, z):
+                    return jnp.concatenate([k[:, z], zpl], axis=0)
+
+                lo = jnp.stack([w_l[:, 0]] + [kpl(k, 0) for k in k_l])
+                hi = jnp.stack([w_l[:, -1]] + [kpl(k, -1) for k in k_l])
+                from_below = lax.ppermute(hi, axis, self._up)
+                from_above = lax.ppermute(lo, axis, self._down)
+                # chain ends: mirror = own edge planes; the Dirichlet top
+                # is applied by the kernel's is_top-gated overwrites
+                ghost_lo = jnp.where(idx == 0, lo, from_below)
+                ghost_hi = jnp.where(idx == nz - 1, hi, from_above)
+                is_top = (idx == nz - 1).astype(jnp.float32)
+                return self._inner_g(h_, D1_, dDi_, w_l,
+                                     list(zip(coefs, k_l)),
+                                     ghosts=(ghost_lo, ghost_hi),
+                                     is_top=is_top, stage5=stage5)
+
+            self._calls[key] = impl
+        return self._calls[key](jnp.asarray(h), jnp.asarray(D1),
+                                jnp.asarray(dDi), w, *[k for _, k in ks])
+
+    # --- merson_solve attempt_fn protocol (same as DeltaAttempt) ---
+
+    def pack(self, y):
+        if y.shape != self.kshape:
+            raise ValueError(
+                f"ShardedDeltaAttempt expects the padded {self.layout!r} "
+                f"layout {self.kshape} (see pad_state), got {y.shape}")
+        return y
+
+    def attempt(self, t, h, y):
+        prm = self._prm
+        D1 = physics.dirichlet_top(t, prm)
+
+        def dD(ts):
+            # exact: both values are parameter constants
+            return (physics.dirichlet_top(ts, prm) - D1).astype(jnp.float32)
+
+        K1 = self._stage1(t, h, y, [])
+        G2 = self._g(h, D1, dD(t + h / 3), y, [(1.0 / 3.0, K1)])
+        G3 = self._g(h, D1, dD(t + h / 3), y,
+                     [(1.0 / 3.0, K1), (1.0 / 6.0, G2)])
+        G4 = self._g(h, D1, dD(t + h / 2), y,
+                     [(0.5, K1), (0.375, G3)])
+        y_spec, eps_blocks = self._g(
+            h, D1, dD(t + h), y,
+            [(1.0, K1), (-1.5, G3), (2.0, G4)], stage5=True)
+        return (y, y_spec), eps_blocks
+
+    def commit(self, carry_spec, accept):
+        y, y_spec = carry_spec
+        sel = jnp.where(accept, y_spec, y[:K_VARS])
+        return lax.dynamic_update_slice(y, sel.astype(y.dtype),
+                                        (0,) * y.ndim)
+
+    def unpack(self, y):
+        return y
+
+
+def make_sharded_delta_attempt(geom: GridGeometry, params: FreezingParams,
+                               calc_mode: int, mesh: Mesh,
+                               axis_name: str = "z", *, bz: int = 0,
+                               layout: str = "flat",
+                               interpret: bool = False
+                               ) -> ShardedDeltaAttempt:
+    return ShardedDeltaAttempt(geom, params, calc_mode, mesh, axis_name,
+                               bz=bz, layout=layout, interpret=interpret)

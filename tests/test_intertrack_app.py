@@ -197,3 +197,24 @@ def test_fused_interpret_paths_on_cpu(tmp_path, monkeypatch):
     assert (tmp_path / "image.002.ncd").exists()
     u = read_netcdf(str(tmp_path / "image.002.ncd")).variables["u"]
     assert np.isfinite(np.asarray(u)).all()
+
+
+def test_fused_interpret_sharded_delta_matches_single(tmp_path, monkeypatch):
+    """The app under ``--mesh z`` keeps the increment form (no silent
+    fallback to the classic kernels — VERDICT r3 §1) and reproduces the
+    single-device delta run's snapshots byte-for-byte (rank-count
+    invariance, SURVEY §4.2)."""
+    monkeypatch.setenv("PFT_FUSED_INTERPRET", "1")
+    single = tmp_path / "single"
+    sharded = tmp_path / "sharded"
+    single.mkdir()
+    sharded.mkdir()
+    assert run_app(single, BASE, ("--precision", "f32")) == 0
+    assert run_app(sharded, BASE, ("--precision", "f32",
+                                   "--mesh", "z4")) == 0
+    log = (sharded / "intertrack.log").read_text()
+    assert "increment-form (delta) attempt: ON (sharded over z=4)" in log
+    for name in ("image.001.ncd", "image.002.ncd"):
+        a = (single / name).read_bytes()
+        b = (sharded / name).read_bytes()
+        assert a == b, f"{name} differs between single and z4 mesh"
