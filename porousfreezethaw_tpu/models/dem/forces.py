@@ -176,6 +176,74 @@ def make_cell_matrix(cfg: DEMConfig, capacity: int = 16, bounds=None,
     return bin_particles
 
 
+def make_cell_lanes(cfg: DEMConfig, capacity: int = 16, bounds=None,
+                    dtype=jnp.float64):
+    """TPU-shaped neighbor structure, round 4: the flattened cell axis in
+    LANES, capacity in sublanes.
+
+    The previous cell strategies lose to masked dense on TPU because
+    their minor dimensions fight the (8, 128) register tiling: the
+    gather variant (``make_cell_list``) issues per-particle
+    ``(n, 27*K)`` gathers, and the roll variant (``make_cell_matrix``)
+    materializes ``(K, K)`` = 16x16 pair blocks in the minor dims, which
+    the lane tiling pads 8x (measured 50x slower than dense at n = 2000,
+    compile-OOM at n = 20 000 — PERFORMANCE.md).  Here every per-cell
+    array is stored ``(K, C)`` with ``C`` the 128-padded flattened cell
+    count, so pair blocks are ``(K, K, C)``: lanes carry whole cells
+    (zero pad waste), sublanes carry the K-capacity (K a multiple of 8),
+    and the 27 neighbor-cell accesses are rolls by
+    ``ox + nx*(oy + ny*oz)`` along the lane axis — fully regular vector
+    moves, no gathers in the pair loop.  ``C`` is padded past
+    ``ncells + max|shift|`` so a roll never wraps a real cell onto a
+    real cell; wrapped lanes land in the pad region, whose slots are
+    invalid.
+
+    Overflow semantics match the other cell structures (capacity
+    collapse onto the last slot, ``cell_occupancy`` validates)."""
+    lo, hi = bounds if bounds is not None else default_cell_bounds(cfg)
+    edge = 2.0 * cfg.r + cfg.max_surf_dist
+    dims = tuple(int(math.ceil((hi[d] - lo[d]) / edge)) for d in range(3))
+    nx, ny, nz = dims
+    ncells = nx * ny * nz
+    max_shift = 1 + nx * (1 + ny)
+    C = -(-(ncells + max_shift + 1) // 128) * 128
+    lo_arr = jnp.asarray(lo, dtype)
+    n = cfg.n
+    K = capacity
+
+    def cell_coords(pos):
+        ci = jnp.floor((pos - lo_arr) / edge).astype(jnp.int32)
+        return jnp.clip(ci, 0, jnp.asarray(dims, jnp.int32) - 1)
+
+    def bin_particles(pos):
+        """-> (slot, valid): slot[i] = k*C + cid of particle i in the
+        (K, C) layout; valid marks occupied slots."""
+        ci = cell_coords(pos)
+        cid = (ci[:, 2] * ny + ci[:, 1]) * nx + ci[:, 0]
+        order = jnp.argsort(cid).astype(jnp.int32)
+        scid = cid[order]
+        first = jnp.searchsorted(scid, scid, side="left").astype(jnp.int32)
+        rank = jnp.minimum(jnp.arange(n, dtype=jnp.int32) - first, K - 1)
+        slot_sorted = rank * C + scid
+        slot = jnp.zeros((n,), jnp.int32).at[order].set(slot_sorted)
+        valid = jnp.zeros((K * C,), bool).at[slot].set(True)
+        return slot, valid.reshape(K, C)
+
+    def to_kc(slot, x):
+        """(n, 3) particle array -> (3, K, C) component-major."""
+        flat = jnp.zeros((K * C, 3), x.dtype).at[slot].set(x)
+        return jnp.moveaxis(flat.reshape(K, C, 3), -1, 0)
+
+    bin_particles.dims = dims
+    bin_particles.capacity = K
+    bin_particles.C = C
+    bin_particles.ncells = ncells
+    bin_particles.to_kc = to_kc
+    bin_particles.cell_occupancy = make_cell_list(
+        cfg, capacity=K, bounds=bounds, dtype=dtype).cell_occupancy
+    return bin_particles
+
+
 def make_dem_rhs(cfg: DEMConfig, dtype=jnp.float64, neighbor: str = "dense",
                  cell_capacity: int = 16, cell_bounds=None, mesh=None,
                  axis_name: str = "p"):
@@ -225,6 +293,9 @@ def make_dem_rhs(cfg: DEMConfig, dtype=jnp.float64, neighbor: str = "dense",
     elif neighbor == "cell_roll":
         binner = make_cell_matrix(cfg, capacity=cell_capacity,
                                   bounds=cell_bounds, dtype=dtype)
+    elif neighbor == "cell_lanes":
+        lanes = make_cell_lanes(cfg, capacity=cell_capacity,
+                                bounds=cell_bounds, dtype=dtype)
     elif neighbor != "dense":
         raise ValueError(f"unknown neighbor strategy {neighbor!r}")
 
@@ -320,6 +391,80 @@ def make_dem_rhs(cfg: DEMConfig, dtype=jnp.float64, neighbor: str = "dense",
             angacc = jnp.where(own_valid[:, None], angacc, 0.0)[slot]
         return acc, angacc
 
+    def cell_lanes_accels(pos, vel, angvel):
+        """Pair accelerations in the lane-major (K, C) cell layout (see
+        ``make_cell_lanes``): component axis leading, cells in lanes,
+        neighbors as flat-axis rolls.  Same physics as ``pair_accels``,
+        re-expressed with reductions over the leading component axis —
+        the dense path is the correctness oracle
+        (tests/test_dem_celllist.py)."""
+        nx_, ny_, nz_ = lanes.dims
+        K = lanes.capacity
+        C = lanes.C
+        slot, valid = lanes(pos)
+        Pc = lanes.to_kc(slot, pos)          # (3, K, C)
+        Vc = lanes.to_kc(slot, vel)
+        Ac = lanes.to_kc(slot, angvel) if angvel is not None else None
+
+        c = jnp.arange(C, dtype=jnp.int32)
+        ix = c % nx_
+        iy = (c // nx_) % ny_
+        iz = c // (nx_ * ny_)
+        real = c < lanes.ncells
+
+        acc = jnp.zeros((3, K, C), pos.dtype)
+        angacc = jnp.zeros((3, K, C), pos.dtype) if angvel is not None \
+            else None
+        eye = jnp.eye(K, dtype=bool)
+        for ox, oy, oz in _OFFSETS:
+            s = ox + nx_ * (oy + ny_ * oz)
+            Yp = jnp.roll(Pc, -s, axis=2) if s else Pc
+            Yv = jnp.roll(Vc, -s, axis=2) if s else Vc
+            Ya = (jnp.roll(Ac, -s, axis=2) if s else Ac) \
+                if Ac is not None else None
+            Yvalid = jnp.roll(valid, -s, axis=1) if s else valid
+            in_range = (real
+                        & (ix + ox >= 0) & (ix + ox < nx_)
+                        & (iy + oy >= 0) & (iy + oy < ny_)
+                        & (iz + oz >= 0) & (iz + oz < nz_))
+            mask = (valid[:, None, :] & Yvalid[None, :, :]
+                    & in_range[None, None, :])        # (K, K, C)
+            if (ox, oy, oz) == (0, 0, 0):
+                mask = mask & ~eye[:, :, None]
+            dp = Pc[:, :, None, :] - Yp[:, None, :, :]  # (3, K, K, C)
+            dist = jnp.sqrt(jnp.sum(dp * dp, axis=0)) + cfg.zero
+            mp = dp / dist[None]
+            surf = dist - two_r
+            mask = mask & (surf <= cfg.max_surf_dist)
+            CF = jnp.where(mask, collision_factor(surf), 0.0)
+            mv = Vc[:, :, None, :] - Yv[:, None, :, :]
+            heading = jnp.sum(mv * mp, axis=0)          # (K, K, C)
+            acc = acc + jnp.sum((CF * rebound(-heading))[None] * mp,
+                                axis=2)
+            if cfg.has_friction:
+                mv_t = mv - heading[None] * mp
+                if Ac is not None:
+                    osum = Ac[:, :, None, :] + Ya[:, None, :, :]
+                    sv = jnp.cross(osum, mp, axisa=0, axisb=0, axisc=0)
+                    mv_t = mv_t - cfg.r * sv
+                mvt_mag = jnp.sqrt(jnp.sum(mv_t * mv_t, axis=0)) + cfg.zero
+                tdir = mv_t / mvt_mag[None]
+                FF = CF * cfg.friction * friction_factor(mvt_mag)
+                acc = acc - jnp.sum(FF[None] * tdir, axis=2)
+                if Ac is not None:
+                    torque = jnp.cross(mp, tdir, axisa=0, axisb=0, axisc=0)
+                    angacc = angacc + jnp.sum(
+                        (cfg.r * FF / cfg.inertia)[None] * torque, axis=2)
+        # map slots back to particles (invalid slots hold exact zeros)
+        flat_a = acc.reshape(3, K * C)
+        out_a = jnp.stack([flat_a[d][slot] for d in range(3)], axis=-1)
+        out_aa = None
+        if angacc is not None:
+            flat_aa = angacc.reshape(3, K * C)
+            out_aa = jnp.stack([flat_aa[d][slot] for d in range(3)],
+                               axis=-1)
+        return out_a, out_aa
+
     def rhs(t, y: Dict[str, jax.Array]) -> Dict[str, jax.Array]:
         pos, vel = y["pos"], y["vel"]
         angvel = y.get("angvel")
@@ -347,7 +492,7 @@ def make_dem_rhs(cfg: DEMConfig, dtype=jnp.float64, neighbor: str = "dense",
             nang = (jnp.broadcast_to(angvel[None, :, :], (n, n, 3))
                     if angvel is not None else None)
             mask = ~jnp.eye(n, dtype=bool)
-        elif neighbor == "cell_roll":
+        elif neighbor in ("cell_roll", "cell_lanes"):
             npos = None
         else:
             ids, mask = nbr_fn(pos)
@@ -355,7 +500,9 @@ def make_dem_rhs(cfg: DEMConfig, dtype=jnp.float64, neighbor: str = "dense",
             nvel = vel[ids]
             nang = angvel[ids] if angvel is not None else None
         if npos is None:
-            pacc, angacc = cell_roll_accels(pos, vel, angvel)
+            fn = (cell_lanes_accels if neighbor == "cell_lanes"
+                  else cell_roll_accels)
+            pacc, angacc = fn(pos, vel, angvel)
         else:
             pacc, angacc = pair_accels(pos, vel, angvel, npos, nvel, nang,
                                        mask)

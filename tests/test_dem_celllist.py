@@ -135,3 +135,51 @@ def test_cell_roll_large_n_smoke():
     rhs = make_dem_rhs(cfg, neighbor="cell_roll")
     out = jax.jit(lambda yy: rhs(0.0, yy))(y)
     assert np.isfinite(np.asarray(out["vel"])).all()
+
+
+@pytest.mark.parametrize("variant", ["basic", "basic_WB", "friction",
+                                     "friction_angular"])
+def test_cell_lanes_matches_dense(variant):
+    """The lane-major cell strategy (cells in lanes, capacity in
+    sublanes, neighbors as flat-axis rolls — make_cell_lanes) finds the
+    same pairs as the dense oracle in every force variant."""
+    cfg = DEMConfig(variant=variant, n=100, r=0.1)
+    y = settled_like_state(cfg)
+    dense = make_dem_rhs(cfg, neighbor="dense")
+    lanes = make_dem_rhs(cfg, neighbor="cell_lanes")
+    a = dense(0.0, y)
+    b = lanes(0.0, y)
+    for k in a:
+        np.testing.assert_allclose(np.asarray(a[k]), np.asarray(b[k]),
+                                   rtol=1e-12, atol=1e-12)
+
+
+def test_cell_lanes_settle_tracks_dense():
+    cfg = DEMConfig(variant="friction_angular", n=27, r=0.1, T=0.5)
+    y0, _ = icond_dense(cfg, seed=3)
+    y0 = {k: jnp.asarray(v) for k, v in y0.items()}
+    params = MersonParams(delta=cfg.delta, h_min=cfg.ht_min)
+    out = {}
+    for name in ("dense", "cell_lanes"):
+        rhs = make_dem_rhs(cfg, neighbor=name)
+        solve = jax.jit(lambda st, f=rhs: merson_solve(f, st, 0.5, params))
+        st, status = solve(merson_init(y0, 0.0, cfg.ht))
+        assert int(status) == 0
+        out[name] = st
+    np.testing.assert_allclose(np.asarray(out["dense"].y["pos"]),
+                               np.asarray(out["cell_lanes"].y["pos"]),
+                               rtol=1e-6, atol=1e-8)
+    assert int(out["dense"].steps) == int(out["cell_lanes"].steps)
+
+
+def test_cell_lanes_large_n_smoke():
+    cfg = DEMConfig(variant="friction_angular", n=2000, r=0.03)
+    rng = np.random.RandomState(0)
+    pos = rng.random_sample((2000, 3)) * np.array([1.0, 1.0, 2.0])
+    y = {"pos": jnp.asarray(pos),
+         "vel": jnp.asarray(0.1 * rng.standard_normal((2000, 3))),
+         "angvel": jnp.asarray(0.1 * rng.standard_normal((2000, 3)))}
+    rhs = make_dem_rhs(cfg, neighbor="cell_lanes")
+    out = jax.jit(lambda yy: rhs(0.0, yy))(y)
+    assert np.isfinite(np.asarray(out["vel"])).all()
+    assert np.asarray(out["pos"]).shape == (2000, 3)
