@@ -21,6 +21,7 @@ from the shipped logs, BASELINE.md).
 import argparse
 import json
 import os
+import subprocess
 import sys
 import time
 
@@ -124,7 +125,8 @@ def bench_dem(args, neighbor="dense", n_spheres=None, chunk_cap=512):
     log(f"{done} attempts, {wall:.2f}s -> {value:.3e} particle*RHS-evals/s "
         f"(t={float(state.t):.3f}s sim)")
     suffix = {"dense": "", "cell_list": "_celllist",
-              "cell_roll": "_cellroll"}[neighbor]
+              "cell_roll": "_cellroll",
+              "cell_lanes": "_celllanes"}[neighbor]
     return {
         "metric": f"dem_{n}{suffix}_particle_rhs_evals_per_s",
         "value": value,
@@ -309,10 +311,12 @@ def main():
     ap.add_argument("--suite", choices=["freezing", "dem"], default="freezing")
     ap.add_argument("--matrix", action="store_true",
                     help="bench the full LR/MR/HR x GradP/SigmaP/Temp "
-                         "matrix + DEM; one JSON line each")
+                         "matrix + DEM; one JSON line each (each row in "
+                         "its own subprocess)")
+    ap.add_argument("--row", default=None, help=argparse.SUPPRESS)
     ap.add_argument("--n-spheres", type=int, default=200)
     ap.add_argument("--neighbor", choices=["dense", "cell_list",
-                                           "cell_roll"],
+                                           "cell_roll", "cell_lanes"],
                     default="dense",
                     help="DEM neighbor strategy (--suite dem)")
     ap.add_argument("--grid-nodes", type=int, default=200,
@@ -370,17 +374,56 @@ def main():
         else:
             yield
 
+    if args.row:
+        # internal: one matrix row in this process (spawned by --matrix)
+        parts = args.row.split(":")
+        if parts[0] == "freezing":
+            gn, cm = int(parts[1]), int(parts[2])
+            extra = parts[3] if len(parts) > 3 else ""
+            if extra == "delta":
+                args.fused = "delta"
+            elif extra.startswith("mesh="):
+                args.mesh = extra[5:]
+            rec = bench_freezing(args, grid_nodes=gn, calc_mode=cm)
+            if extra:
+                rec["metric"] += ("_delta" if extra == "delta"
+                                  else f"_sharded_{extra[5:]}")
+        else:
+            n, nb, cap = int(parts[1]), parts[2], int(parts[3])
+            rec = bench_dem(args, neighbor=nb, n_spheres=n, chunk_cap=cap)
+        print(json.dumps(rec))
+        return
+
     if args.matrix:
-        # the axon remote worker occasionally dies mid-solve on
-        # large-trip-count programs (PERFORMANCE.md known issue) and
-        # takes minutes to come back; one flaky row must not lose the
-        # whole matrix, so each row is retried once after a recovery
-        # wait (DEM rows with a halved solve chunk) and recorded as an
-        # error row if it still fails.
-        def row(fn, label, **kw):
+        # Each row runs in its OWN subprocess: the axon remote worker
+        # occasionally dies mid-solve on large-trip-count programs
+        # (PERFORMANCE.md known issue), and a dead worker leaves the
+        # process's JAX backend wedged — an in-process retry would then
+        # deterministically fail (advisor r3).  A fresh process per row
+        # also gives each row a clean backend; one flaky row is retried
+        # once after a recovery wait (DEM rows with a halved solve
+        # chunk) and recorded as an error row if it still fails.
+        def run_row(spec, timeout_s=5400):
+            cmd = [sys.executable, os.path.abspath(__file__),
+                   "--row", spec, "--dtype", args.dtype]
+            if args.platform:
+                cmd += ["--platform", args.platform]
+            out = subprocess.run(cmd, capture_output=True, text=True,
+                                 timeout=timeout_s)
+            if out.stderr:
+                log(out.stderr.rstrip()[-2000:])
+            for line in reversed(out.stdout.strip().splitlines()):
+                try:
+                    return json.loads(line)
+                except json.JSONDecodeError:
+                    continue
+            raise RuntimeError(
+                f"row {spec} produced no JSON (rc={out.returncode})")
+
+        def row(spec, label):
             for attempt in (0, 1):
                 try:
-                    return fn(args, **kw)
+                    return run_row(spec)
                 except Exception as e:  # noqa: BLE001 — record + continue
                     log(f"{label}: {type(e).__name__}: {e}")
                     if attempt:
@@ -390,25 +433,32 @@ def main():
                     log(f"{label}: waiting 240s for the TPU worker to "
                         f"recover, then retrying once...")
                     time.sleep(240)
-                    if "chunk_cap" in kw:
-                        kw["chunk_cap"] = max(64, kw["chunk_cap"] // 2)
+                    if spec.startswith("dem:"):
+                        p = spec.split(":")
+                        p[3] = str(max(64, int(p[3]) // 2))
+                        spec = ":".join(p)
 
-        results = []
+        specs = []
         for gn in (100, 200, 400):
             for cm in (0, 1, 2):
-                rec = row(bench_freezing, f"freezing_{gn}_{cm}",
-                          grid_nodes=gn, calc_mode=cm)
-                results.append(rec)
-                print(json.dumps(rec), flush=True)
+                specs.append((f"freezing:{gn}:{cm}", f"freezing_{gn}_{cm}"))
+        # the production f32 GradP numerics (increment form) and the
+        # compiled sharded fused path (z=1 self-permute ring exercises
+        # shard_map + Mosaic + the overlap split on one chip)
+        specs.append(("freezing:200:0:delta", "freezing_200_0_delta"))
+        specs.append(("freezing:200:0:mesh=z1", "freezing_200_0_sharded"))
         # dense wins on-chip through n=2000 (the 16x16 capacity blocks
-        # of the cell strategies pad 8x against the 128-lane tiling —
-        # measured 50x slower than dense at n=2000, compile-OOM at
-        # n=20000; PERFORMANCE.md known issue); the cell_roll row is
-        # kept as the measured record of that gap
+        # of the gather/roll cell strategies pad 8x against the 128-lane
+        # tiling; PERFORMANCE.md); cell_list is the TPU-shaped
+        # capacity-in-lanes layout
         for n, nb in ((200, "dense"), (2000, "dense"),
-                      (2000, "cell_roll")):
-            rec = row(bench_dem, f"dem_{n}_{nb}", neighbor=nb,
-                      n_spheres=n, chunk_cap=512)
+                      (2000, "cell_roll"), (2000, "cell_lanes"),
+                      (20000, "cell_lanes")):
+            specs.append((f"dem:{n}:{nb}:512", f"dem_{n}_{nb}"))
+
+        results = []
+        for spec, label in specs:
+            rec = row(spec, label)
             results.append(rec)
             print(json.dumps(rec), flush=True)
         with open("BENCH_MATRIX.json", "w") as f:
