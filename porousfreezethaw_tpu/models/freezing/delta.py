@@ -278,3 +278,45 @@ def make_g_rhs(geom: GridGeometry, params: FreezingParams, calc_mode: int):
         return jnp.stack([Gu, Gp])
 
     return g
+
+
+class XlaDeltaAttempt:
+    """Increment-form Merson attempt via the XLA (roll-based) ``g`` —
+    the oracle implementation of the algebra the Pallas ``DeltaAttempt``
+    kernels fuse (ops/pallas/stencil.py).  Runs on any backend and any
+    dtype over the raw ``(3, n3, n2, n1)`` state; implements
+    ``merson_solve``'s ``attempt_fn`` protocol.  Used by the golden
+    regression guard (tests/test_golden_lr.py) to pin the delta-form
+    GradP step counts on CPU, where the interpret-mode Pallas path would
+    be orders of magnitude too slow for CI."""
+
+    def __init__(self, geom: GridGeometry, params: FreezingParams,
+                 calc_mode: int):
+        from .equation import make_rhs
+        self._g = make_g_rhs(geom, params, calc_mode)
+        self._rhs = make_rhs(geom, params, calc_mode)
+
+    def pack(self, y):
+        return y
+
+    def attempt(self, t, h, y):
+        g = self._g
+        K1 = self._rhs(t, y)[:2]
+        hc = jnp.asarray(h, y.dtype)
+        G2 = g(t, t + h / 3, y, hc * (1.0 / 3.0) * K1)
+        G3 = g(t, t + h / 3, y, hc * ((1.0 / 3.0) * K1 + (1.0 / 6.0) * G2))
+        G4 = g(t, t + h / 2, y, hc * (0.5 * K1 + 0.375 * G3))
+        G5 = g(t, t + h, y, hc * (K1 - 1.5 * G3 + 2.0 * G4))
+        eps = jnp.max(jnp.abs(-0.9 * G3 + 0.8 * G4 - 0.1 * G5))
+        y_spec = (y[:2] + hc * K1
+                  + (hc / 3.0) * (2.0 * G4 + 0.5 * G5))
+        return (y, y_spec), eps[None]
+
+    def commit(self, carry_spec, accept):
+        y, y_spec = carry_spec
+        sel = jnp.where(accept, y_spec, y[:2])
+        return jax.lax.dynamic_update_slice(y, sel.astype(y.dtype),
+                                            (0,) * y.ndim)
+
+    def unpack(self, y):
+        return y

@@ -58,3 +58,70 @@ def test_lr_temp_snapshot1_step_counts(tmp_path):
     # golden runs in VALIDATION.md pin the tight end-of-run numbers.
     assert abs(successful - REF_SUCCESSFUL) <= 0.05 * REF_SUCCESSFUL
     assert abs(total - REF_TOTAL) <= 0.05 * REF_TOTAL
+
+
+import pytest  # noqa: E402
+
+GOLDEN_GRADP = os.path.join(HERE, "golden", "Params-LR-GradP")
+
+# reference Cases-LR/freeze-thaw-10h-GradP/OUTPUT/intertrack.log, snap 1
+GRADP_REF_SUCCESSFUL, GRADP_REF_TOTAL = 3560, 4322
+
+
+@pytest.mark.slow
+def test_lr_gradp_delta_snapshot1_step_counts():
+    """GradP snapshot-1 golden guard for the increment-form (delta)
+    numerics — the production f32 GradP path.  Drives the XLA oracle of
+    the delta algebra (models/freezing/delta.py::XlaDeltaAttempt, the
+    exact algebra the Pallas DeltaAttempt kernels fuse) through one
+    reference snapshot interval in f32 with the EXACT reference
+    step-control rule and pins the step counts: an error anywhere in the
+    280 lines of hand-derived increment expansions shows up here as a
+    step-count shift (a broken estimator either inflates attempts or
+    accepts wrongly).  CPU reference value: 3647/4323 vs the reference
+    log's 3560/4322 (~2-3 min of CPU)."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from porousfreezethaw_tpu.config import parse_param_file
+    from porousfreezethaw_tpu.core.grid import GridGeometry
+    from porousfreezethaw_tpu.models.freezing import (
+        FreezingParams, build_glass_field, build_initial_conditions,
+        shift_temperature_origin)
+    from porousfreezethaw_tpu.models.freezing.delta import XlaDeltaAttempt
+    from porousfreezethaw_tpu.models.freezing.glass import read_ball_positions
+    from porousfreezethaw_tpu.solvers.merson import (
+        MersonParams, merson_init, merson_solve)
+
+    pf = parse_param_file(open(GOLDEN_GRADP).read(), env={"OUTPUT": "/tmp"})
+    prm = FreezingParams.from_dict(pf.vars)
+    geom = GridGeometry(pf.vars["L1"], pf.vars["L2"], pf.vars["L3"],
+                        int(pf.vars["n1"]), int(pf.vars["n2"]),
+                        int(pf.vars["n3"]))
+    w0 = build_initial_conditions(geom, prm, pf.icond_formulas,
+                                  dtype=np.float32)
+    balls = read_ball_positions(
+        os.path.join(os.path.dirname(HERE), "data",
+                     "spheres_positions.txt"), prm)
+    w0[2] = build_glass_field(geom, prm, balls, w0[2])
+    w0[0] -= prm.u_star
+    att = XlaDeltaAttempt(geom, shift_temperature_origin(prm, prm.u_star), 0)
+    params = MersonParams(delta=pf.vars["delta"], h_min=pf.vars["tau_min"],
+                          handle_nan=True, max_steps=1024)
+    state = merson_init(jnp.asarray(w0), 0.0, pf.vars["tau"])
+    solve = jax.jit(lambda st: merson_solve(
+        lambda t, y: y, st, 36000.0 / 99, params, attempt_fn=att))
+    while True:
+        state, status = solve(state)
+        if int(status) != -7:  # MAX_STEPS -> continue next chunk
+            break
+    assert int(status) == 0
+    successful, total = int(state.steps), int(state.steps_total)
+    # the delta estimator has no f32 noise floor, so the counts sit in
+    # the f64 band: measured 3647/4323 (2.4% above the reference's
+    # successful count, attempts within 1).  5% guards the algebra while
+    # tolerating FP-summation-order shifts across XLA versions.
+    assert abs(successful - GRADP_REF_SUCCESSFUL) <= \
+        0.05 * GRADP_REF_SUCCESSFUL
+    assert abs(total - GRADP_REF_TOTAL) <= 0.05 * GRADP_REF_TOTAL
