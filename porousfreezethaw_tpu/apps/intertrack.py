@@ -219,18 +219,20 @@ def run_iteration(
                     and jax.devices()[0].platform == "cpu")
     fused_ok = (np.dtype(dtype) == np.float32 and noise is None
                 and (jax.devices()[0].platform != "cpu" or fused_interp))
-    # GradP defaults to the increment-form (delta) attempt on the f32
-    # production paths: the exact f(w+d)-f(w) kernels remove the f32
-    # stage-state rounding floor from the error estimator entirely
+    # The increment-form (delta) attempt is the f32 production default
+    # for ALL models (round 4): the exact f(w+d)-f(w) kernels remove the
+    # f32 stage-state rounding floor from the error estimator entirely
     # (models/freezing/delta.py), so the controller follows the
-    # reference f64 step sizes with no noise-floor escape needed —
-    # this is what un-inflates the stiff GradP step counts (2.6x at
-    # MR) and un-pins the thaw onset.  Temp/SigmaP keep the cheaper
-    # classic stage kernels (their floors sit below the controller
-    # fixed point; measured inflation only 1.05-1.07x).  Overridable
-    # as a Params variable (`increment_form 0|1`).
-    use_delta = bool(pf.vars.get(
-        "increment_form", 1.0 if calc_mode in (0, 10) else 0.0))
+    # reference f64 step sizes under the EXACT reference step-control
+    # rule — no noise-floor escape.  Measured on the shipped LR cases
+    # (VALIDATION.md): step inflation 1.02-1.03x (vs 1.05-1.07x for the
+    # classic kernels with the escape), attempts within 0.1% of the
+    # reference's; at MR GradP it also un-pins the thaw onset (the
+    # classic path inflated 2.6-3.6x and never finished).  The classic
+    # stage kernels remain ~1.2x faster per attempt and are selectable
+    # as a Params variable (`increment_form 0`), which re-enables the
+    # documented noise-floor escape below.
+    use_delta = bool(pf.vars.get("increment_form", 1.0))
     if mesh_axes:
         mesh = make_mesh(mesh_axes)
         log("Device mesh: %s\n", dict(zip(mesh.axis_names, mesh.devices.shape)))

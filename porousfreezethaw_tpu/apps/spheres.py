@@ -30,7 +30,8 @@ from ..io.rklog import format_time
 from ..models.dem import (
     DEMConfig, icond_2spheres, icond_dense, icond_sparse, make_dem_rhs,
     write_final_positions)
-from ..solvers.merson import MersonParams, merson_init, merson_solve
+from ..solvers.merson import (
+    MAX_STEPS, MersonParams, merson_init, merson_solve)
 
 ICONDS = {"dense": icond_dense, "sparse": icond_sparse,
           "2spheres": icond_2spheres}
@@ -51,10 +52,12 @@ def main(argv: Optional[List[str]] = None) -> int:
     ap.add_argument("--ht-min", type=float, default=1e-9)
     ap.add_argument("--seed", type=int, default=None)
     ap.add_argument("--output", default="OUTPUT")
-    ap.add_argument("--neighbor", choices=["dense", "cell_list"],
+    ap.add_argument("--neighbor", choices=["dense", "cell_list",
+                                           "cell_roll", "cell_lanes"],
                     default="dense",
                     help="pair search: exact masked n x n (reference "
-                         "semantics) or O(n) spatial cell list for large n")
+                         "semantics) or a spatial cell structure for "
+                         "large n (cell_lanes is the TPU-shaped one)")
     ap.add_argument("--final-positions", default=None, metavar="PATH",
                     help="write resting sphere centers after the run "
                          "(extract_final_positions.m contract; the "
@@ -97,8 +100,17 @@ def main(argv: Optional[List[str]] = None) -> int:
 
     print("Initializing...")
     os.makedirs(args.output, exist_ok=True)
-    params = MersonParams(delta=cfg.delta, h_min=cfg.ht_min)
-    y_dev = {k: jnp.asarray(v) for k, v in y0.items()}
+    dtype = jnp.float32 if args.precision == "f32" else jnp.float64
+    # chunked solver calls on accelerators: a while_loop compiled with a
+    # large baked trip count reproducibly faults the axon remote TPU
+    # worker (PERFORMANCE.md known issue; the intertrack app applies the
+    # same clamp) — 512 attempts per program is the validated bound
+    platform = jax.devices()[0].platform
+    chunk = 512 if platform != "cpu" else 2**62
+    params = MersonParams(delta=cfg.delta, h_min=cfg.ht_min,
+                          max_steps=chunk,
+                          handle_nan=dtype == jnp.float32)
+    y_dev = {k: jnp.asarray(v, dtype) for k, v in y0.items()}
     mesh = None
     if args.mesh:
         from ..parallel.sharding import make_mesh, shard_dem_state
@@ -106,9 +118,15 @@ def main(argv: Optional[List[str]] = None) -> int:
         y_dev = shard_dem_state(y_dev, mesh)
         print(f"Particles sharded over mesh "
               f"{dict(zip(mesh.axis_names, mesh.devices.shape))}")
-    rhs = make_dem_rhs(cfg, neighbor=args.neighbor, mesh=mesh)
+    rhs = make_dem_rhs(cfg, dtype=dtype, neighbor=args.neighbor, mesh=mesh)
     state = merson_init(y_dev, 0.0, cfg.ht)
-    solve = jax.jit(lambda st, ft: merson_solve(rhs, st, ft, params))
+    solve_chunk = jax.jit(lambda st, ft: merson_solve(rhs, st, ft, params))
+
+    def solve(st, ft):
+        while True:
+            st, status = solve_chunk(st, ft)
+            if int(status) != MAX_STEPS:
+                return st, status
 
     start = time.time()
     elapsed = 0.0

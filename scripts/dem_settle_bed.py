@@ -29,14 +29,17 @@ def main() -> int:
     ap.add_argument("--out", default="/tmp/dem_settle")
     ap.add_argument("--n", type=int, default=200)
     ap.add_argument("--platform", default=None)
+    ap.add_argument("--precision", default="f64", choices=["f32", "f64"])
     ap.add_argument("--neighbor", default="dense",
-                    choices=["dense", "cell_list"])
+                    choices=["dense", "cell_list", "cell_roll",
+                             "cell_lanes"])
     args = ap.parse_args()
 
     from porousfreezethaw_tpu.apps.spheres import main as spheres_main
 
     final = os.path.join(args.out, "spheres_final_positions.txt")
     argv = ["--variant", "friction_angular", "--n", str(args.n),
+            "--precision", args.precision,
             "--icond", "dense", "--snapshots", "400", "--final-time", "8",
             "--neighbor", args.neighbor,
             "--output", os.path.join(args.out, "OUTPUT"),
