@@ -199,6 +199,21 @@ def test_fused_interpret_paths_on_cpu(tmp_path, monkeypatch):
     assert np.isfinite(np.asarray(u)).all()
 
 
+def test_increment_form_opt_out_selects_classic(tmp_path, monkeypatch):
+    """`increment_form 0` restores the classic stage kernels and
+    re-enables the documented noise-floor escape default (the delta
+    attempt is the f32 default for all models as of round 4)."""
+    monkeypatch.setenv("PFT_FUSED_INTERPRET", "1")
+    rc = run_app(tmp_path, BASE + "\nincrement_form\t0\n",
+                 ("--precision", "f32"))
+    assert rc == 0
+    log = (tmp_path / "intertrack.log").read_text()
+    assert "Fused Pallas stage kernel: ON" in log
+    assert "increment-form (delta) attempt" not in log
+    assert "accept-side minimum h growth 1.05" in log
+    assert (tmp_path / "image.002.ncd").exists()
+
+
 def test_fused_interpret_sharded_delta_matches_single(tmp_path, monkeypatch):
     """The app under ``--mesh z`` keeps the increment form (no silent
     fallback to the classic kernels — VERDICT r3 §1) and reproduces the
