@@ -115,3 +115,19 @@ class TestValidatedBudget:
         b = st._validated_budget(HR, "flat", probe, "t6", buffers=2)
         assert a == b
         assert len(calls) == 1
+
+    def test_user_limit_not_served_escalated_cache(self):
+        """A builder with an explicit vmem_limit_mb must not inherit an
+        escalated (budget, limit) cached for the default limit: that
+        combination was never probed and can hard-fail at compile
+        (advisor r3)."""
+        def probe(bz, lim):
+            pass  # everything compiles
+
+        a = st._validated_budget(HR, "flat", probe, "t7", buffers=2,
+                                 escalate=True, user_limit_mb=0)
+        assert a[1] > 0  # escalated tier kept (raised Mosaic limit)
+        b = st._validated_budget(HR, "flat", probe, "t7", buffers=2,
+                                 escalate=False, user_limit_mb=24)
+        assert b != a  # distinct cache entry, no escalated leak
+        assert b[1] == 0
