@@ -51,11 +51,21 @@ def _cross(a, b):
 def default_cell_bounds(cfg: DEMConfig) -> Tuple[Tuple[float, float, float],
                                                  Tuple[float, float, float]]:
     """Bounding box for the cell grid: the vessel plus headroom for the
-    elevated initial block and slack for wall penetration overshoot."""
-    n_layers = math.ceil(cfg.n ** (1.0 / 3.0))
-    z_top = cfg.h0 + (n_layers + 2) * 2.5 * cfg.r
+    elevated initial block and slack for wall penetration overshoot.
+
+    The height model matches ``icond_dense`` (the tallest initializer):
+    ``floor(R / 2.5r)^2`` spheres per layer at spacing ``R / bpr``
+    (spheres_friction_angular.c:454-489) — NOT ``n^(1/3)`` layers, which
+    underestimates badly for large n (particles above the box were
+    clip-binned into the top cell layer, overflowing its capacity and
+    silently dropping pairs; caught in round 4 by the occupancy check
+    at n = 20 000)."""
+    bpr = max(1, math.floor(cfg.R / (2.5 * cfg.r)))
+    distance = cfg.R / bpr
+    n_layers = math.ceil(cfg.n / (bpr * bpr))
+    z_top = cfg.h0 + (n_layers + 2) * distance
     pad = 4.0 * cfg.r
-    return (-pad, -pad, -pad), (1.0 + pad, 1.0 + pad, z_top + pad)
+    return (-pad, -pad, -pad), (cfg.R + pad, cfg.R + pad, z_top + pad)
 
 
 def make_cell_list(cfg: DEMConfig, capacity: int = 16,

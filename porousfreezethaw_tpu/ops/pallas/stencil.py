@@ -1065,7 +1065,15 @@ def make_delta_g(geom: GridGeometry, params: FreezingParams,
         if len(ghosts) != n_ghost:
             raise ValueError(
                 f"expected {n_ghost} ghost stacks, got {len(ghosts)}")
-        bz_ = bz or _pick_bz(geom_local, nk + 1, layout,
+        # ONE bz for every stage: the pick of the heaviest (4-input
+        # stage-5) variant, which is exactly what the compile probe
+        # validated.  A per-nk pick would let the lighter stages choose
+        # deeper blocks than were ever probed — at the HR grid under the
+        # escalated Mosaic limit the nk=1 kernel picked bz=16 and blew
+        # scoped VMEM at runtime (the delta RHS carries far more live
+        # intermediates than the empirical _pick_bz model assumes;
+        # round-4 incident, mirrors the advisor's edge-kernel warning).
+        bz_ = bz or _pick_bz(geom_local, 4, layout,
                              vmem_budget=_budget(), buffers=2)
         key = (nk, bz_, stage5)
         if key not in calls:

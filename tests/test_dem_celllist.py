@@ -75,6 +75,21 @@ def test_occupancy_within_capacity():
     assert occ < cfg.n
 
 
+@pytest.mark.parametrize("n", [200, 2000, 20000])
+def test_dense_icond_fits_cell_bounds(n):
+    """The default cell bounds must contain the tallest initializer
+    (icond_dense packs floor(R/2.5r)^2 per layer — round 4 found the
+    old n^(1/3)-layer height model clipped large-n initial blocks into
+    the top cell layer, overflowing capacity and silently dropping
+    pairs)."""
+    from porousfreezethaw_tpu.models.dem import make_cell_lanes
+    r = 0.1 if n <= 400 else 0.1 * (200.0 / n) ** (1.0 / 3.0)
+    cfg = DEMConfig(variant="friction_angular", n=n, r=r)
+    y0, _ = icond_dense(cfg, seed=0)
+    lanes = make_cell_lanes(cfg, capacity=16)
+    assert lanes.cell_occupancy(y0["pos"]) <= lanes.capacity // 2
+
+
 def test_large_n_smoke():
     """n=2000 cell-list evaluation is well-formed (the dense form would
     be 4M pairs; the cell list evaluates 2000 x 432 candidates)."""
