@@ -154,6 +154,29 @@ class TestDeltaAttemptPallas:
         assert abs(got_eps - want_eps) <= 1e-3 * want_eps + 1e-7
         np.testing.assert_allclose(y_spec, want_y, rtol=1e-5, atol=1e-5)
 
+    @pytest.mark.parametrize("mode", [0, 2])
+    def test_xla_delta_attempt_matches_pallas(self, case, mode):
+        """XlaDeltaAttempt (the golden-guard oracle / CPU path) and the
+        Pallas DeltaAttempt implement the same attempt: same speculative
+        state and error max up to layout-induced summation order."""
+        from porousfreezethaw_tpu.models.freezing.delta import (
+            XlaDeltaAttempt)
+        from porousfreezethaw_tpu.ops.pallas.stencil import (
+            make_delta_attempt, unpad_state)
+        geom, prm, w32, wp = self._padded(case)
+        t, h = 100.0, 0.05
+        pal = make_delta_attempt(geom, prm, mode, bz=2, interpret=True)
+        (_, spec_p), eps_p = pal.attempt(jnp.asarray(t, jnp.float64),
+                                         jnp.asarray(h, jnp.float64), wp)
+        xla = XlaDeltaAttempt(geom, prm, mode)
+        (_, spec_x), eps_x = xla.attempt(jnp.asarray(t, jnp.float64),
+                                         jnp.asarray(h, jnp.float64), w32)
+        np.testing.assert_allclose(
+            np.asarray(unpad_state(spec_p, geom)), np.asarray(spec_x),
+            rtol=1e-5, atol=1e-5)
+        a, b = float(jnp.max(eps_p)), float(jnp.max(eps_x))
+        assert abs(a - b) <= 1e-3 * max(a, b) + 1e-7
+
     def test_solver_integration_tracks_f64(self, case):
         """merson_solve over the DeltaAttempt path (f32) must track the
         f64 reference trajectory and step counts on the stiff GradP
