@@ -1,18 +1,23 @@
 """Vectorized DEM soft-contact force kernels.
 
 The reference computes per-particle accelerations with an O(n^2) pair scan
-under OpenMP (``spheres_friction_angular.c:242-357``).  Two TPU-native
-neighbor strategies share one pair-force core:
+under OpenMP (``spheres_friction_angular.c:242-357``).  Four TPU-native
+neighbor strategies share one pair-force model (the scalable ones are the
+analog of the cutoff scan in ``spheres_basic.c:222-286``; the reference
+has no cell structure at all — SURVEY §2.6 tasks the TPU build with one):
 
 * ``dense`` — masked (n x n) pairwise computation: exact, no data
   structure, a natural VPU fit; the right choice for the reference's
-  n = 200 workloads and the correctness oracle for the cell list.
-* ``cell_list`` — spatial binning at the interaction range: particles are
-  bucketed into fixed-capacity cells (sort + scatter, all static shapes),
-  and each particle evaluates only the candidates gathered from its 27
-  surrounding cells — O(n * 27 * capacity) instead of O(n^2), the scalable
-  analog of the cutoff scan in ``spheres_basic.c:222-286`` (the reference
-  has no cell list; SURVEY §2.6 tasks the TPU build with one).
+  n = 200 workloads and the correctness oracle for every cell strategy.
+* ``cell_list`` — fixed-capacity spatial bins + per-particle candidate
+  GATHERS from the 27 surrounding cells: O(n * 27 * capacity) work but
+  VPU-hostile irregular access (measured 20x slower than dense on v5e).
+* ``cell_roll`` — cell-major (nz, ny, nx, K) grid, neighbors as whole-
+  grid rolls: regular access, but its (K, K) pair blocks sit in the
+  minor dims and the (8, 128) register tiling pads them 8x in lanes.
+* ``cell_lanes`` — the TPU-shaped layout (round 4): the flattened cell
+  axis in LANES, capacity in sublanes, neighbors as lane-axis rolls —
+  zero pad waste, no gathers in the pair loop (``make_cell_lanes``).
 
 Force model (constants in :class:`..config.DEMConfig`):
 * collision factor  CF = cfm * exp(-cfe * surf_dist)  (exp model,
