@@ -79,7 +79,8 @@ BASELINE_DEM_PARTICLE_EVALS_PER_S = 820.0
 # f-evals / 37,059 s (BASELINE.md spheres_200_dense.log)
 
 
-def bench_dem(args, neighbor="dense", n_spheres=None, chunk_cap=512):
+def bench_dem(args, neighbor="dense", n_spheres=None, chunk_cap=512,
+              cell_capacity=16):
     import jax
     import jax.numpy as jnp
     from porousfreezethaw_tpu.models.dem import (
@@ -94,7 +95,8 @@ def bench_dem(args, neighbor="dense", n_spheres=None, chunk_cap=512):
     r = 0.1 if n <= 400 else 0.1 * (200.0 / n) ** (1.0 / 3.0)
     cfg = DEMConfig(variant="friction_angular", n=n, r=r)
     y0, _ = icond_dense(cfg, seed=0)
-    rhs = make_dem_rhs(cfg, dtype=jnp.float32, neighbor=neighbor)
+    rhs = make_dem_rhs(cfg, dtype=jnp.float32, neighbor=neighbor,
+                       cell_capacity=cell_capacity)
     steps = args.steps or (20000 if n <= 400 else 2000)
     # chunked solve calls (the app's service-path pattern): a while_loop
     # with a very large baked trip count reproducibly faults the axon
@@ -109,6 +111,17 @@ def bench_dem(args, neighbor="dense", n_spheres=None, chunk_cap=512):
         start = int(st.steps_total)
         while int(st.steps_total) - start < n_attempts:
             st, _ = solve(st)
+            if rhs.neighbor_struct is not None:
+                # guarded capacity (advisor r4): mid-run densification
+                # past the structure's capacity would drop pairs — the
+                # kernel already NaN-poisons, this names the cause
+                occ = rhs.neighbor_struct.cell_occupancy(st.y["pos"])
+                if occ > rhs.neighbor_struct.capacity:
+                    raise RuntimeError(
+                        f"cell occupancy {occ} exceeds capacity "
+                        f"{rhs.neighbor_struct.capacity} at t="
+                        f"{float(st.t):.4f} — rerun with a larger "
+                        f"--cell-capacity or --neighbor dense")
         return st
 
     state = merson_init({k: jnp.asarray(v, jnp.float32) for k, v in y0.items()},
@@ -390,7 +403,11 @@ def main():
                                   else f"_sharded_{extra[5:]}")
         else:
             n, nb, cap = int(parts[1]), parts[2], int(parts[3])
-            rec = bench_dem(args, neighbor=nb, n_spheres=n, chunk_cap=cap)
+            kcap = int(parts[4]) if len(parts) > 4 else 16
+            rec = bench_dem(args, neighbor=nb, n_spheres=n, chunk_cap=cap,
+                            cell_capacity=kcap)
+            if len(parts) > 4:
+                rec["metric"] += f"_k{kcap}"
         print(json.dumps(rec))
         return
 
@@ -408,15 +425,36 @@ def main():
                    "--row", spec, "--dtype", args.dtype]
             if args.platform:
                 cmd += ["--platform", args.platform]
+            # forward per-run tuning flags into the row subprocess so
+            # --matrix honors them like the in-process modes (advisor
+            # r4); --profile-dir is deliberately NOT forwarded — 16
+            # rows would interleave traces in one directory and the
+            # ~30% trace overhead would skew every number
+            if args.steps:
+                cmd += ["--steps", str(args.steps)]
+            if args.warm_steps:
+                cmd += ["--warm-steps", str(args.warm_steps)]
+            if args.bz:
+                cmd += ["--bz", str(args.bz)]
+            if args.vmem_mb:
+                cmd += ["--vmem-mb", str(args.vmem_mb)]
+            if args.no_overlap:
+                cmd.append("--no-overlap")
             out = subprocess.run(cmd, capture_output=True, text=True,
                                  timeout=timeout_s)
             if out.stderr:
                 log(out.stderr.rstrip()[-2000:])
             for line in reversed(out.stdout.strip().splitlines()):
                 try:
-                    return json.loads(line)
+                    rec = json.loads(line)
                 except json.JSONDecodeError:
                     continue
+                if out.returncode != 0:
+                    # the row printed its record and then crashed
+                    # (e.g. worker fault in teardown) — keep the
+                    # number but make the failure visible (advisor r4)
+                    rec["rc"] = out.returncode
+                return rec
             raise RuntimeError(
                 f"row {spec} produced no JSON (rc={out.returncode})")
 

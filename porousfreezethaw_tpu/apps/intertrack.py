@@ -340,6 +340,11 @@ def run_iteration(
         if chunk <= 0:
             raise SystemExit(
                 f"PFT_SERVICE_CHUNK must be a positive integer, got {chunk}")
+        if platform != "cpu" and chunk > 1024:
+            log("PFT_SERVICE_CHUNK %d clamped to 1024 on %s (larger "
+                "baked trip counts fault the remote worker)\n",
+                chunk, platform)
+            chunk = 1024
         cparams = _dc.replace(mparams, max_steps=chunk, record_trace=chunk)
         solve_chunk = jax.jit(
             lambda st, ft: merson_solve(rhs, st, ft, cparams,
@@ -449,17 +454,23 @@ def run_iteration(
             t=float(state.t), final_time=final_time, snapshot=(
                 snapshot - 1 if is_on_demand else snapshot),
             total_snapshots=total_snapshots, comment=comment)
-        if (mesh_axes and stage_fn is None and attempt_fn is None
-                and pf.grid_io_mode == "inner"):
-            # gather-free path: unshift on device (sharding preserved),
-            # each shard's block written directly into the file
-            # (the fused path's padded layout goes through the gathered
-            # writer below)
+        if mesh_axes and pf.grid_io_mode == "inner":
+            # gather-free path for BOTH mesh layouts: the raw XLA state
+            # (unshift on device, sharding preserved) and the fused/
+            # delta kernels' padded flat layout (per-shard unpad +
+            # unshift on host; the writer detects the layout) — the
+            # production mesh path never gathers the grid (round 5)
             from ..io.snapshots import write_snapshot_sharded
             y_out = state.y
-            if u_shift:
-                y_out = y_out.at[0].add(jnp.asarray(u_shift, y_out.dtype))
-            write_snapshot_sharded(filename, geom, params, y_out, **snap_kw)
+            shift_kw = {}
+            if attempt_fn is None and stage_fn is None:
+                if u_shift:
+                    y_out = y_out.at[0].add(jnp.asarray(u_shift,
+                                                        y_out.dtype))
+            else:
+                shift_kw["u_shift"] = u_shift
+            write_snapshot_sharded(filename, geom, params, y_out,
+                                   **shift_kw, **snap_kw)
         else:
             write_snapshot(
                 filename, geom, params, _unshift(unpad(state.y), u_shift),

@@ -58,6 +58,11 @@ def main(argv: Optional[List[str]] = None) -> int:
                     help="pair search: exact masked n x n (reference "
                          "semantics) or a spatial cell structure for "
                          "large n (cell_lanes is the TPU-shaped one)")
+    ap.add_argument("--cell-capacity", type=int, default=16,
+                    help="max particles per cell for the cell "
+                         "strategies; occupancy is checked at every "
+                         "chunk boundary and overflow aborts loudly "
+                         "(the kernels also NaN-poison on overflow)")
     ap.add_argument("--final-positions", default=None, metavar="PATH",
                     help="write resting sphere centers after the run "
                          "(extract_final_positions.m contract; the "
@@ -118,13 +123,26 @@ def main(argv: Optional[List[str]] = None) -> int:
         y_dev = shard_dem_state(y_dev, mesh)
         print(f"Particles sharded over mesh "
               f"{dict(zip(mesh.axis_names, mesh.devices.shape))}")
-    rhs = make_dem_rhs(cfg, dtype=dtype, neighbor=args.neighbor, mesh=mesh)
+    rhs = make_dem_rhs(cfg, dtype=dtype, neighbor=args.neighbor, mesh=mesh,
+                       cell_capacity=args.cell_capacity)
     state = merson_init(y_dev, 0.0, cfg.ht)
     solve_chunk = jax.jit(lambda st, ft: merson_solve(rhs, st, ft, params))
 
     def solve(st, ft):
         while True:
             st, status = solve_chunk(st, ft)
+            if rhs.neighbor_struct is not None:
+                # guarded capacity: densification past the cell
+                # capacity would drop pairs (the kernel NaN-poisons on
+                # overflow; this names the cause before the solver's
+                # NaN backoff grinds h into the floor)
+                occ = rhs.neighbor_struct.cell_occupancy(st.y["pos"])
+                if occ > rhs.neighbor_struct.capacity:
+                    raise SystemExit(
+                        f"cell occupancy {occ} exceeds capacity "
+                        f"{rhs.neighbor_struct.capacity} at t="
+                        f"{float(st.t):.4f}: rerun with a larger "
+                        f"--cell-capacity or --neighbor dense")
             if int(status) != MAX_STEPS:
                 return st, status
 

@@ -124,6 +124,7 @@ def write_snapshot_sharded(
     snapshot: int,
     total_snapshots: int,
     comment: str = "",
+    u_shift: float = 0.0,
 ) -> None:
     """Gather-free snapshot write: the same NetCDF contract as
     :func:`write_snapshot`, but each device shard's block is written
@@ -131,6 +132,16 @@ def write_snapshot_sharded(
     equivalent of the reference's gather-to-master + nc_put_vara loop,
     ``intertrack.c:2459-2546``) — the global array is never materialized
     on any host.
+
+    Accepts either the raw ``(3, n3, n2, n1)`` state or the fused/delta
+    kernels' padded flat layout ``(3, n3, P/128, 128)`` sharded over z
+    (``ops.pallas.stencil.pad_state``): padded shards are unpadded
+    per-shard on host, so the production mesh path never gathers the
+    grid either (round 5; previously the padded layout fell back to the
+    gathered writer — at HR a 192 MB all-to-host gather per snapshot).
+    ``u_shift`` is added to the temperature per shard in the state's
+    own dtype, matching the gathered path's ``_unshift`` arithmetic
+    byte-for-byte.
 
     Single-process: writes every shard.  Multi-host: process 0 creates
     the file with header + coordinates, then every process writes only
@@ -142,7 +153,18 @@ def write_snapshot_sharded(
     if state.shape[0] != len(VARIABLES):
         raise ValueError(f"state leading dim {state.shape[0]} != "
                          f"{len(VARIABLES)} variables")
-    n3, n2, n1 = state.shape[1:]
+    if geom is not None and state.shape[1:] != (geom.n3, geom.n2, geom.n1):
+        # padded flat kernel layout (3, n3, P/128, 128), z-sharded
+        n3, n2, n1 = geom.n3, geom.n2, geom.n1
+        if (state.ndim != 4 or state.shape[1] != n3
+                or state.shape[2] * state.shape[3] < n2 * n1):
+            raise ValueError(
+                f"state shape {state.shape} is neither the raw "
+                f"(3, {n3}, {n2}, {n1}) nor a padded flat layout of it")
+        padded = True
+    else:
+        n3, n2, n1 = state.shape[1:]
+        padded = False
     dims = {"n3": n3, "n2": n2, "n1": n1}
     var_specs = [("n3", ("n3",), NC_DOUBLE), ("n2", ("n2",), NC_DOUBLE),
                  ("n1", ("n1",), NC_DOUBLE)]
@@ -171,15 +193,34 @@ def write_snapshot_sharded(
     for shard in state.addressable_shards:
         if shard.replica_id != 0:
             continue
-        idx = shard.index  # tuple of slices into (3, n3, n2, n1)
+        idx = shard.index  # tuple of slices into the (sharded) state
         key = tuple((s.start, s.stop) for s in idx)
         if key in seen:
             continue
         seen.add(key)
-        block = np.asarray(shard.data, dtype=np.float64)
         qs = idx[0]
-        spatial_start = tuple(s.start or 0 for s in idx[1:])
-        for qi, q in enumerate(range(qs.start or 0,
+        q0 = qs.start or 0
+        if padded:
+            # (nv_l, zl, R, 128) -> unpad to (nv_l, zl, n2, n1); the
+            # flat pad only extends the last two (unsharded) dims, so a
+            # shard's rows are complete and the z offset carries over
+            raw = np.asarray(shard.data)
+            zl = raw.shape[1]
+            block = raw.reshape(raw.shape[0], zl, -1)[:, :, :n2 * n1]
+            block = block.reshape(raw.shape[0], zl, n2, n1)
+            if u_shift and q0 == 0:
+                block = np.array(block, copy=True)
+                block[0] += u_shift      # state dtype, as _unshift does
+            block = block.astype(np.float64)
+            spatial_start = ((idx[1].start or 0), 0, 0)
+        else:
+            raw = np.asarray(shard.data)
+            if u_shift and q0 == 0:
+                raw = np.array(raw, copy=True)
+                raw[0] += u_shift
+            block = raw.astype(np.float64)
+            spatial_start = tuple(s.start or 0 for s in idx[1:])
+        for qi, q in enumerate(range(q0,
                                      qs.stop if qs.stop is not None
                                      else state.shape[0])):
             write_block(path, layouts[VARIABLES[q]], block[qi],

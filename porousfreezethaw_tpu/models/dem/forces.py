@@ -231,18 +231,24 @@ def make_cell_lanes(cfg: DEMConfig, capacity: int = 16, bounds=None,
         return jnp.clip(ci, 0, jnp.asarray(dims, jnp.int32) - 1)
 
     def bin_particles(pos):
-        """-> (slot, valid): slot[i] = k*C + cid of particle i in the
-        (K, C) layout; valid marks occupied slots."""
+        """-> (slot, valid, overflow): slot[i] = k*C + cid of particle i
+        in the (K, C) layout; valid marks occupied slots; overflow is a
+        device scalar bool — True when any cell holds more than K
+        particles (the excess would collapse onto the last slot and
+        silently drop pairs, so the force kernel poisons its output with
+        NaN instead — the guarded-capacity contract)."""
         ci = cell_coords(pos)
         cid = (ci[:, 2] * ny + ci[:, 1]) * nx + ci[:, 0]
         order = jnp.argsort(cid).astype(jnp.int32)
         scid = cid[order]
         first = jnp.searchsorted(scid, scid, side="left").astype(jnp.int32)
-        rank = jnp.minimum(jnp.arange(n, dtype=jnp.int32) - first, K - 1)
+        raw_rank = jnp.arange(n, dtype=jnp.int32) - first
+        overflow = jnp.max(raw_rank) >= K
+        rank = jnp.minimum(raw_rank, K - 1)
         slot_sorted = rank * C + scid
         slot = jnp.zeros((n,), jnp.int32).at[order].set(slot_sorted)
         valid = jnp.zeros((K * C,), bool).at[slot].set(True)
-        return slot, valid.reshape(K, C)
+        return slot, valid.reshape(K, C), overflow
 
     def to_kc(slot, x):
         """(n, 3) particle array -> (3, K, C) component-major."""
@@ -302,15 +308,16 @@ def make_dem_rhs(cfg: DEMConfig, dtype=jnp.float64, neighbor: str = "dense",
     walls_P = jnp.asarray(P_w, dtype)
     walls_n = jnp.asarray(n_w, dtype)
 
+    neighbor_struct = None
     if neighbor == "cell_list":
-        nbr_fn = make_cell_list(cfg, capacity=cell_capacity,
-                                bounds=cell_bounds, dtype=dtype)
+        nbr_fn = neighbor_struct = make_cell_list(
+            cfg, capacity=cell_capacity, bounds=cell_bounds, dtype=dtype)
     elif neighbor == "cell_roll":
-        binner = make_cell_matrix(cfg, capacity=cell_capacity,
-                                  bounds=cell_bounds, dtype=dtype)
+        binner = neighbor_struct = make_cell_matrix(
+            cfg, capacity=cell_capacity, bounds=cell_bounds, dtype=dtype)
     elif neighbor == "cell_lanes":
-        lanes = make_cell_lanes(cfg, capacity=cell_capacity,
-                                bounds=cell_bounds, dtype=dtype)
+        lanes = neighbor_struct = make_cell_lanes(
+            cfg, capacity=cell_capacity, bounds=cell_bounds, dtype=dtype)
     elif neighbor != "dense":
         raise ValueError(f"unknown neighbor strategy {neighbor!r}")
 
@@ -416,7 +423,7 @@ def make_dem_rhs(cfg: DEMConfig, dtype=jnp.float64, neighbor: str = "dense",
         nx_, ny_, nz_ = lanes.dims
         K = lanes.capacity
         C = lanes.C
-        slot, valid = lanes(pos)
+        slot, valid, overflow = lanes(pos)
         Pc = lanes.to_kc(slot, pos)          # (3, K, C)
         Vc = lanes.to_kc(slot, vel)
         Ac = lanes.to_kc(slot, angvel) if angvel is not None else None
@@ -473,11 +480,20 @@ def make_dem_rhs(cfg: DEMConfig, dtype=jnp.float64, neighbor: str = "dense",
         # map slots back to particles (invalid slots hold exact zeros)
         flat_a = acc.reshape(3, K * C)
         out_a = jnp.stack([flat_a[d][slot] for d in range(3)], axis=-1)
+        # guarded capacity: a cell past K particles would have silently
+        # dropped pairs — poison the result instead so the failure is
+        # loud (the solver's NaN handling rejects the step; the drivers
+        # additionally check cell_occupancy at chunk boundaries and
+        # raise with a clear message / fall back to dense)
+        out_a = jnp.where(overflow, jnp.asarray(jnp.nan, out_a.dtype),
+                          out_a)
         out_aa = None
         if angacc is not None:
             flat_aa = angacc.reshape(3, K * C)
             out_aa = jnp.stack([flat_aa[d][slot] for d in range(3)],
                                axis=-1)
+            out_aa = jnp.where(overflow,
+                               jnp.asarray(jnp.nan, out_aa.dtype), out_aa)
         return out_a, out_aa
 
     def rhs(t, y: Dict[str, jax.Array]) -> Dict[str, jax.Array]:
@@ -557,6 +573,10 @@ def make_dem_rhs(cfg: DEMConfig, dtype=jnp.float64, neighbor: str = "dense",
                              else jnp.zeros_like(angvel))
         return out
 
+    # drivers use this to validate occupancy at chunk boundaries
+    # (advisor r4) — None for the dense strategy, which has no capacity
+    rhs.neighbor_struct = neighbor_struct
+
     if mesh is None:
         return rhs
 
@@ -576,4 +596,5 @@ def make_dem_rhs(cfg: DEMConfig, dtype=jnp.float64, neighbor: str = "dense",
                         check_vma=False)(rhs)
         return impl(jnp.asarray(t, dtype), y)
 
+    rhs_sharded.neighbor_struct = None      # mesh path is dense-only
     return rhs_sharded

@@ -198,3 +198,31 @@ def test_cell_lanes_large_n_smoke():
     out = jax.jit(lambda yy: rhs(0.0, yy))(y)
     assert np.isfinite(np.asarray(out["vel"])).all()
     assert np.asarray(out["pos"]).shape == (2000, 3)
+
+
+def test_cell_lanes_overflow_poisons():
+    """Guarded capacity (round 5): a cell holding more than K particles
+    must NOT silently drop pairs — the kernel poisons its output with
+    NaN and cell_occupancy reports the overflow so drivers can abort
+    with a clear message (bench.py / apps/spheres.py check it at every
+    chunk boundary)."""
+    cfg = DEMConfig(variant="friction_angular", n=12, r=0.1)
+    rng = np.random.RandomState(0)
+    # all 12 particles jittered inside one cell (edge = 2r + cutoff)
+    pos = 0.15 + 0.01 * rng.random_sample((12, 3))
+    y = {"pos": jnp.asarray(pos),
+         "vel": jnp.asarray(rng.standard_normal((12, 3))),
+         "angvel": jnp.asarray(rng.standard_normal((12, 3)))}
+    rhs = make_dem_rhs(cfg, neighbor="cell_lanes", cell_capacity=8)
+    assert rhs.neighbor_struct.cell_occupancy(y["pos"]) > 8
+    out = rhs(0.0, y)
+    assert np.isnan(np.asarray(out["vel"])).all()
+    assert np.isnan(np.asarray(out["angvel"])).all()
+    # the same configuration under an adequate capacity is clean and
+    # matches the dense oracle
+    ok = make_dem_rhs(cfg, neighbor="cell_lanes", cell_capacity=16)
+    dense = make_dem_rhs(cfg, neighbor="dense")
+    a, b = ok(0.0, y), dense(0.0, y)
+    for k in a:
+        np.testing.assert_allclose(np.asarray(a[k]), np.asarray(b[k]),
+                                   rtol=1e-12, atol=1e-12)

@@ -225,3 +225,44 @@ class TestGridFullMode:
                        tau=1.0, t=0.0, final_time=1.0, snapshot=0,
                        total_snapshots=1)
         assert read_netcdf(path).dims == {"n3": 8, "n2": 4, "n1": 4}
+
+    def test_sharded_padded_write_matches_gathered(self, tmp_path):
+        """The fused/delta kernels' padded flat layout, z-sharded over
+        the CPU mesh, must write byte-identically to the gathered
+        writer applied to the unpadded + unshifted state (round 5: the
+        production mesh path never gathers the grid)."""
+        import jax
+        import jax.numpy as jnp
+
+        from porousfreezethaw_tpu.io.snapshots import write_snapshot_sharded
+        from porousfreezethaw_tpu.ops.pallas.stencil import (
+            pad_state, unpad_state)
+        from porousfreezethaw_tpu.parallel.fused import padded_sharding
+        from porousfreezethaw_tpu.parallel.sharding import make_mesh
+
+        geom = GridGeometry(0.03, 0.03, 0.06, 5, 7, 8)  # forces lane pad
+        prm = default_params()
+        u_shift = 273.15
+        fields = np.random.RandomState(3).random_sample(
+            (3,) + geom.shape).astype(np.float32)
+        kw = dict(calc_mode=0, delta=1e-3, tau=0.125, t=360.0,
+                  final_time=36000.0, snapshot=5, total_snapshots=100,
+                  comment="Sharded padded")
+
+        # the gathered reference: device unpad -> host f32 unshift
+        unpadded = np.asarray(unpad_state(
+            pad_state(jnp.asarray(fields), geom), geom))
+        unshifted = np.array(unpadded, copy=True)
+        unshifted[0] += u_shift
+        ref_path = str(tmp_path / "ref.ncd")
+        write_snapshot(ref_path, geom, prm, unshifted, **kw)
+
+        for spec in ("z8", "z4", "z2"):
+            mesh = make_mesh(spec, devices=jax.devices()[:8])
+            w = jax.device_put(pad_state(jnp.asarray(fields), geom),
+                               padded_sharding(mesh))
+            path = str(tmp_path / f"padded_{spec}.ncd")
+            write_snapshot_sharded(path, geom, prm, w, u_shift=u_shift,
+                                   **kw)
+            assert (open(path, "rb").read()
+                    == open(ref_path, "rb").read()), spec

@@ -42,7 +42,7 @@ MESHES = ["z2", "z4", "z8"]
 
 class TestAttemptEquivalence:
     @pytest.mark.parametrize("mesh_spec", MESHES)
-    @pytest.mark.parametrize("calc_mode", [0, 1, 2])
+    @pytest.mark.parametrize("calc_mode", [0, 1, 2, 10, 11])
     def test_attempt_bitwise(self, case, mesh_spec, calc_mode):
         """One full delta attempt (K1 + G2..G5 + tail): the speculative
         state and the error max must match the single-device attempt

@@ -40,7 +40,7 @@ MESHES = ["z2", "z4", "z8"]
 
 class TestStageEquivalence:
     @pytest.mark.parametrize("mesh_spec", MESHES)
-    @pytest.mark.parametrize("calc_mode", [0, 1, 2])
+    @pytest.mark.parametrize("calc_mode", [0, 1, 2, 10, 11])
     def test_stage5_bitwise(self, case, mesh_spec, calc_mode):
         geom, prm, w = case
         rng = np.random.RandomState(11)
