@@ -320,3 +320,58 @@ class XlaDeltaAttempt:
 
     def unpack(self, y):
         return y
+
+
+class XlaDeltaAttemptComp(XlaDeltaAttempt):
+    """XlaDeltaAttempt with a COMPENSATED (double-f32) state commit.
+
+    Round-5 attribution (scripts/repros/_r5_delta_floor_attribution.py,
+    _r5_state_roughness_probe.py): on the developed MR bed the delta
+    estimator is f32-exact and f32/f64 evolution from the same state
+    step at the same rate — the residual step inflation vs the
+    reference must accumulate through the per-step state commit
+    ``y <- fl32(y + dy)``, whose ulp(y)/2 rounding discards the small
+    accepted increments' low bits (at mid-freeze h, |dy| can sit near
+    ulp(y)).  This variant carries an f32 compensation plane per
+    dynamic variable and commits via TwoSum:
+
+        t1 = dy + y_lo;  s = y_hi + t1   (TwoSum -> exact residual r)
+        y_hi <- s;       y_lo <- r
+
+    so the represented sum y_hi + y_lo tracks the exact trajectory to
+    ~ulp^2 while the stages keep reading the plain f32 y_hi (no extra
+    stage cost; +2 planes of commit traffic).  The packed state is
+    (5, ...): [u, p, gl, u_lo, p_lo].
+    """
+
+    def pack(self, y):
+        lo = jnp.zeros_like(y[:2])
+        return jnp.concatenate([y, lo], axis=0)
+
+    def attempt(self, t, h, y5):
+        y = y5[:3]
+        g = self._g
+        K1 = self._rhs(t, y)[:2]
+        hc = jnp.asarray(h, y.dtype)
+        G2 = g(t, t + h / 3, y, hc * (1.0 / 3.0) * K1)
+        G3 = g(t, t + h / 3, y, hc * ((1.0 / 3.0) * K1 + (1.0 / 6.0) * G2))
+        G4 = g(t, t + h / 2, y, hc * (0.5 * K1 + 0.375 * G3))
+        G5 = g(t, t + h, y, hc * (K1 - 1.5 * G3 + 2.0 * G4))
+        eps = jnp.max(jnp.abs(-0.9 * G3 + 0.8 * G4 - 0.1 * G5))
+        dy = hc * K1 + (hc / 3.0) * (2.0 * G4 + 0.5 * G5)
+        return (y5, dy), eps[None]
+
+    def commit(self, carry_spec, accept):
+        y5, dy = carry_spec
+        y_hi, y_lo = y5[:2], y5[3:]
+        t1 = dy + y_lo
+        s = y_hi + t1
+        bb = s - y_hi
+        err = (y_hi - (s - bb)) + (t1 - bb)
+        new_hi = jnp.where(accept, s, y_hi)
+        new_lo = jnp.where(accept, err, y_lo)
+        out = jax.lax.dynamic_update_slice(y5, new_hi, (0,) + (0,) * 3)
+        return jax.lax.dynamic_update_slice(out, new_lo, (3,) + (0,) * 3)
+
+    def unpack(self, y5):
+        return y5[:3]
