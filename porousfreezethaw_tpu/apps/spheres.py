@@ -63,6 +63,14 @@ def main(argv: Optional[List[str]] = None) -> int:
                          "strategies; occupancy is checked at every "
                          "chunk boundary and overflow aborts loudly "
                          "(the kernels also NaN-poison on overflow)")
+    ap.add_argument("--device-buffer", type=int, default=0, metavar="B",
+                    help="record B snapshot states on device per solver "
+                         "call (lax.scan over targets) and fetch them "
+                         "in one transfer — collapses the per-snapshot "
+                         "host round trips that dominate wall time on "
+                         "remote-tunnel TPUs (PERFORMANCE.md); falls "
+                         "back to per-snapshot solves for any interval "
+                         "exceeding the per-call attempt bound")
     ap.add_argument("--final-positions", default=None, metavar="PATH",
                     help="write resting sphere centers after the run "
                          "(extract_final_positions.m contract; the "
@@ -146,25 +154,92 @@ def main(argv: Optional[List[str]] = None) -> int:
             if int(status) != MAX_STEPS:
                 return st, status
 
+    def save_snap(snap, y_host, steps, steps_total, elapsed):
+        print(f"Done. Elapsed wall time: {format_time(elapsed)}, "
+              f"{steps} R-K steps ({steps_total} total)")
+        print(f"Saving snapshot {snap + 1} of {cfg.snapshots}.")
+        write_dem_snapshot(snapshot_path(args.output, snap + 1),
+                           y_host, color, angular=cfg.angular)
+
+    def t_target(snap):
+        return (cfg.T / (cfg.snapshots - 1)) * snap
+
+    def solve_one(snap, elapsed):
+        nonlocal state
+        print(f"Solving until t={t_target(snap):f} ....", end="",
+              flush=True)
+        t0 = time.time()
+        state, status = solve(state, t_target(snap))
+        if int(status) != 0:
+            print(f"\nsolver failed with status {int(status)}")
+            raise SystemExit(1)
+        elapsed += time.time() - t0
+        save_snap(snap, {k: np.asarray(v) for k, v in state.y.items()},
+                  int(state.steps), int(state.steps_total), elapsed)
+        return elapsed
+
     start = time.time()
     elapsed = 0.0
-    for snap in range(cfg.snapshots):
-        t_target = (cfg.T / (cfg.snapshots - 1)) * snap
-        print(f"Solving until t={t_target:f} ....", end="", flush=True)
-        t0 = time.time()
-        state, status = solve(state, t_target)
-        status = int(status)
-        if status != 0:
-            print(f"\nsolver failed with status {status}")
-            return 1
-        elapsed += time.time() - t0
-        print(f"Done. Elapsed wall time: {format_time(elapsed)}, "
-              f"{int(state.steps)} R-K steps ({int(state.steps_total)} total)")
-        print(f"Saving snapshot {snap + 1} of {cfg.snapshots}.")
-        write_dem_snapshot(
-            snapshot_path(args.output, snap + 1),
-            {k: np.asarray(v) for k, v in state.y.items()},
-            color, angular=cfg.angular)
+    if args.device_buffer > 0:
+        # device-buffered mode: lax.scan over B snapshot targets inside
+        # ONE dispatched program — merson_solve's continuation-h
+        # contract threads through the scan carry exactly as it does
+        # through the host loop, so step counts are identical; only the
+        # host round trips collapse (B snapshots per dispatch, one
+        # stacked fetch).  The per-interval attempt bound stays at the
+        # validated `chunk`; an interval that exceeds it is redone via
+        # the per-snapshot fallback path.
+        B = args.device_buffer
+
+        @jax.jit
+        def solve_batch(st, targets):
+            def step_fn(s, tgt):
+                s2, stat = merson_solve(rhs, s, tgt, params)
+                return s2, (s2.y, s2.steps, s2.steps_total, stat)
+            return jax.lax.scan(step_fn, st, targets)
+
+        snap = 0
+        while snap < cfg.snapshots:
+            nb = min(B, cfg.snapshots - snap)
+            # fixed-length targets (one compile): pad by repeating the
+            # last target — a solve to the current t is a no-op
+            tgts = [t_target(snap + i) for i in range(nb)]
+            tgts += [tgts[-1]] * (B - nb)
+            t0 = time.time()
+            prev_state = state
+            new_state, (ys, steps_a, totals_a, stats) = solve_batch(
+                state, jnp.asarray(tgts, jnp.float64))
+            stats = np.asarray(stats)
+            if np.all(stats[:nb] == 0):
+                state = new_state
+                elapsed += time.time() - t0
+                ys = {k: np.asarray(v) for k, v in ys.items()}
+                steps_a = np.asarray(steps_a)
+                totals_a = np.asarray(totals_a)
+                for i in range(nb):
+                    print(f"Solving until t={tgts[i]:f} ....", end="")
+                    save_snap(snap + i,
+                              {k: v[i] for k, v in ys.items()},
+                              int(steps_a[i]), int(totals_a[i]), elapsed)
+            else:
+                # some interval needs more than `chunk` attempts (or
+                # failed): redo this batch per-snapshot from the saved
+                # pre-batch state so the chunked fallback can finish it
+                state = prev_state
+                for i in range(nb):
+                    elapsed = solve_one(snap + i, elapsed)
+            if rhs.neighbor_struct is not None:
+                occ = rhs.neighbor_struct.cell_occupancy(state.y["pos"])
+                if occ > rhs.neighbor_struct.capacity:
+                    raise SystemExit(
+                        f"cell occupancy {occ} exceeds capacity "
+                        f"{rhs.neighbor_struct.capacity} at t="
+                        f"{float(state.t):.4f}: rerun with a larger "
+                        f"--cell-capacity or --neighbor dense")
+            snap += nb
+    else:
+        for snap in range(cfg.snapshots):
+            elapsed = solve_one(snap, elapsed)
 
     if args.final_positions:
         write_final_positions(args.final_positions,

@@ -345,6 +345,8 @@ class XlaDeltaAttemptComp(XlaDeltaAttempt):
     """
 
     def pack(self, y):
+        if y.shape[0] == 5:       # already packed (merson_solve re-packs
+            return y              # every call; chunked drivers carry lo)
         lo = jnp.zeros_like(y[:2])
         return jnp.concatenate([y, lo], axis=0)
 
@@ -374,4 +376,7 @@ class XlaDeltaAttemptComp(XlaDeltaAttempt):
         return jax.lax.dynamic_update_slice(out, new_lo, (3,) + (0,) * 3)
 
     def unpack(self, y5):
-        return y5[:3]
+        # keep the compensation planes in the carried state so chunked
+        # solve calls don't drop the accumulated low parts; strip with
+        # y[:3] when writing output
+        return y5

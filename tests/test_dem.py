@@ -231,3 +231,24 @@ class TestIconds:
         np.fill_diagonal(d, np.inf)
         # jittered grid spacing: 2.5r grid minus 0.25r jitter on each side
         assert d.min() > 2.5 * cfg.r - 0.5 * cfg.r
+
+
+def test_device_buffer_matches_host_loop(tmp_path):
+    """--device-buffer (lax.scan over snapshot targets, one dispatch per
+    batch) must reproduce the per-snapshot host loop byte-for-byte —
+    merson_solve's continuation-h contract threads through the scan
+    carry exactly like through the host loop (round 5; collapses the
+    per-snapshot round trips that dominate remote-TPU settle walls)."""
+    from porousfreezethaw_tpu.apps.spheres import main as spheres_main
+    a = tmp_path / "host"
+    b = tmp_path / "buffered"
+    base = ["--variant", "friction_angular", "--n", "12",
+            "--snapshots", "6", "--final-time", "0.3", "--seed", "5",
+            "--platform", "cpu"]
+    assert spheres_main(base + ["--output", str(a)]) == 0
+    assert spheres_main(base + ["--output", str(b),
+                                "--device-buffer", "4"]) == 0
+    snaps = sorted(p.name for p in a.glob("snap_*.csv"))
+    assert len(snaps) == 6
+    for name in snaps:
+        assert (a / name).read_bytes() == (b / name).read_bytes(), name
