@@ -233,6 +233,13 @@ def run_iteration(
     # as a Params variable (`increment_form 0`), which re-enables the
     # documented noise-floor escape below.
     use_delta = bool(pf.vars.get("increment_form", 1.0))
+    # compensated (double-f32) commit: EXPERIMENTAL, off by default —
+    # the round-5 A/B (PERFORMANCE.md, _r5_commit_compensation_ab.py)
+    # measured it does NOT reduce the residual f32 step inflation (the
+    # inflation is inherent state quantization feeding the stages, not
+    # commit-rounding accumulation), so the plain commit stays the
+    # production path; `compensated_commit 1` enables the variant
+    use_comp = bool(pf.vars.get("compensated_commit", 0.0))
     if mesh_axes:
         mesh = make_mesh(mesh_axes)
         log("Device mesh: %s\n", dict(zip(mesh.axis_names, mesh.devices.shape)))
@@ -249,9 +256,10 @@ def run_iteration(
             if use_delta:
                 attempt_fn = make_sharded_delta_attempt(
                     geom, solver_params, calc_mode, mesh,
-                    interpret=fused_interp)
-                log("Fused Pallas increment-form (delta) attempt: ON "
-                    "(sharded over z=%d)\n", nz)
+                    interpret=fused_interp, compensated=use_comp)
+                log("Fused Pallas increment-form (delta) attempt: ON%s "
+                    "(sharded over z=%d)\n",
+                    " (compensated commit)" if use_comp else "", nz)
             else:
                 stage_fn = make_sharded_fused_stage(
                     geom, solver_params, calc_mode, mesh,
@@ -269,14 +277,17 @@ def run_iteration(
             make_delta_attempt, make_fused_stage, pad_state, unpad_state)
         if use_delta:
             attempt_fn = make_delta_attempt(geom, solver_params, calc_mode,
-                                            interpret=fused_interp)
-            log("Fused Pallas increment-form (delta) attempt: ON\n")
+                                            interpret=fused_interp,
+                                            compensated=use_comp)
+            log("Fused Pallas increment-form (delta) attempt: ON%s\n",
+                " (compensated commit)" if use_comp else "")
         else:
             stage_fn = make_fused_stage(geom, solver_params, calc_mode,
                                         interpret=fused_interp)
             log("Fused Pallas stage kernel: ON\n")
         w_dev = pad_state(w_dev, geom)
-        unpad = lambda y: np.asarray(unpad_state(y, geom))
+        # [:3] strips the compensated commit's lo planes when present
+        unpad = lambda y: np.asarray(unpad_state(y[:3], geom))
 
     state = merson_init(w_dev, starting_time, tau)
     # f32 production runs enable the noise-floor escape: the f32
@@ -462,6 +473,8 @@ def run_iteration(
             # production mesh path never gathers the grid (round 5)
             from ..io.snapshots import write_snapshot_sharded
             y_out = state.y
+            if y_out.shape[0] > 3:     # strip compensated-commit lo planes
+                y_out = y_out[:3]
             shift_kw = {}
             if attempt_fn is None and stage_fn is None:
                 if u_shift:

@@ -325,14 +325,15 @@ class XlaDeltaAttempt:
 class XlaDeltaAttemptComp(XlaDeltaAttempt):
     """XlaDeltaAttempt with a COMPENSATED (double-f32) state commit.
 
-    Round-5 attribution (scripts/repros/_r5_delta_floor_attribution.py,
-    _r5_state_roughness_probe.py): on the developed MR bed the delta
-    estimator is f32-exact and f32/f64 evolution from the same state
-    step at the same rate — the residual step inflation vs the
-    reference must accumulate through the per-step state commit
-    ``y <- fl32(y + dy)``, whose ulp(y)/2 rounding discards the small
-    accepted increments' low bits (at mid-freeze h, |dy| can sit near
-    ulp(y)).  This variant carries an f32 compensation plane per
+    EXPERIMENTAL — measured to NOT help, kept as the committed record
+    of the round-5 A/B (scripts/repros/_r5_commit_compensation_ab.py;
+    PERFORMANCE.md "round 5: the residual inflation is state
+    quantization"): over a full LR GradP mid-freeze interval from a
+    smooth f64 state, f64 took 9,126 steps, plain f32 delta 9,825
+    (1.077x), and this variant 9,870 — the inflation is NOT commit-
+    rounding accumulation but the f32 quantization of the state the
+    stages read (fl(hi+lo) == hi, so a compensated carry cannot reach
+    the dynamics).  This variant carries an f32 compensation plane per
     dynamic variable and commits via TwoSum:
 
         t1 = dy + y_lo;  s = y_hi + t1   (TwoSum -> exact residual r)

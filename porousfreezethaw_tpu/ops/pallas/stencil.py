@@ -918,9 +918,13 @@ def make_delta_g(geom: GridGeometry, params: FreezingParams,
     calls = {}
     vlim_ref = [vmem_limit_mb]
 
-    def build_g(nk: int, bz_: int, stage5: bool):
+    def build_g(nk: int, bz_: int, stage5: bool, emit: str = "y"):
         """Pipelined G kernel: inputs w + nk K/G arrays as
-        (center, prev, next) triplets; scal = [h, D1, dDi, is_top, c...]."""
+        (center, prev, next) triplets; scal = [h, D1, dDi, is_top, c...].
+        ``emit="dy"`` makes the stage-5 tail output the bare increment
+        ``h K1 + (h/3)(2 G4 + 0.5 G5)`` instead of the speculative state
+        ``w + ...`` — the compensated-commit (double-f32) path
+        accumulates it into the (hi, lo) state outside the kernel."""
         nb = Z // bz_
         ndim_tail = len(kshape) - 2
         k_block = (K_VARS, bz_) + kshape[2:]
@@ -989,8 +993,27 @@ def make_delta_g(geom: GridGeometry, params: FreezingParams,
             g4c = slabs[3][:, C]
             err = -0.9 * g3c + 0.8 * g4c - 0.1 * g_out
             eps = jnp.max(jnp.abs(err))
-            y_out = (slabs[0][:K_VARS, C] + h * k1c
-                     + (h / 3.0) * (2.0 * g4c + 0.5 * g_out))
+            if emit == "dy":
+                # the bare increment is the compensated commit's input;
+                # its low bits are MEANINGFUL there, so the final sum
+                # must round identically in every program this kernel
+                # is embedded in.  XLA/LLVM otherwise FMA-contracts
+                # `u + (h/3)*inner` in one program and not another
+                # (observed: eager vs shard_map-compiled differ by
+                # 1 ulp on CPU; optimization_barrier and same-predicate
+                # selects are both simplified away before contraction).
+                # Laundering one addend through an int32 bitcast XORed
+                # with a runtime-dependent zero makes it opaque to the
+                # simplifier AND leaves no fmul operand to contract.
+                u_term = h * k1c
+                x_term = (h / 3.0) * (2.0 * g4c + 0.5 * g_out)
+                rt_zero = (scal_ref[0, 0] > jnp.float32(jnp.inf)
+                           ).astype(jnp.int32)                 # always 0
+                xi = lax.bitcast_convert_type(x_term, jnp.int32) ^ rt_zero
+                y_out = u_term + lax.bitcast_convert_type(xi, jnp.float32)
+            else:
+                dy = h * k1c + (h / 3.0) * (2.0 * g4c + 0.5 * g_out)
+                y_out = slabs[0][:K_VARS, C] + dy
             outs[0][:] = y_out
             outs[1][:] = jnp.broadcast_to(eps, outs[1].shape)
 
@@ -1060,7 +1083,8 @@ def make_delta_g(geom: GridGeometry, params: FreezingParams,
                 budget_ref.append(b)
         return budget_ref[0]
 
-    def g_call(h, D1, dDi, w, ks, ghosts=(), is_top=None, stage5=False):
+    def g_call(h, D1, dDi, w, ks, ghosts=(), is_top=None, stage5=False,
+               emit="y"):
         nk = len(ks)
         if len(ghosts) != n_ghost:
             raise ValueError(
@@ -1075,9 +1099,9 @@ def make_delta_g(geom: GridGeometry, params: FreezingParams,
         # round-4 incident, mirrors the advisor's edge-kernel warning).
         bz_ = bz or _pick_bz(geom_local, 4, layout,
                              vmem_budget=_budget(), buffers=2)
-        key = (nk, bz_, stage5)
+        key = (nk, bz_, stage5, emit)
         if key not in calls:
-            calls[key] = build_g(nk, bz_, stage5)
+            calls[key] = build_g(nk, bz_, stage5, emit)
         top = 1.0 if is_top is None else is_top
         scal = jnp.concatenate([
             jnp.reshape(jnp.asarray(h, jnp.float32), (1,)),
@@ -1166,13 +1190,83 @@ class DeltaAttempt:
         return y
 
 
+class DeltaAttemptComp(DeltaAttempt):
+    """DeltaAttempt with a COMPENSATED (double-f32) state commit.
+
+    The round-5 attribution (scripts/repros/_r5_*_attribution.py,
+    models/freezing/delta.py::XlaDeltaAttemptComp — the oracle of this
+    kernel path) found the delta estimator f32-exact; the residual step
+    inflation accumulates through the per-step commit rounding
+    ``y <- fl32(y + dy)``.  Here the stage-5 tail emits the bare
+    increment ``dy`` (``emit="dy"``), and the commit accumulates it
+    into an (hi, lo) f32 pair per dynamic variable via TwoSum, keeping
+    the carried state on the exact trajectory to ~ulp^2.  Stages read
+    the plain hi planes — no extra kernel cost; the state grows to
+    5 planes ([u, p, gl, u_lo, p_lo]) and the commit touches 2 more.
+    """
+
+    def __init__(self, *args, **kw):
+        super().__init__(*args, **kw)
+        self.kshape5 = (N_VARS + K_VARS,) + self.kshape[1:]
+
+    def pack(self, y):
+        if y.shape == self.kshape5:   # merson_solve re-packs every call
+            return y
+        if y.shape != self.kshape:
+            raise ValueError(
+                f"DeltaAttemptComp expects the padded {self.layout!r} "
+                f"layout {self.kshape} (or its 5-plane packed form), "
+                f"got {y.shape}")
+        lo = jnp.zeros_like(y[:K_VARS])
+        return jnp.concatenate([y, lo], axis=0)
+
+    def attempt(self, t, h, y5):
+        prm = self._prm
+        y = y5[:N_VARS]
+        D1 = physics.dirichlet_top(t, prm)
+
+        def dD(ts):
+            return (physics.dirichlet_top(ts, prm) - D1).astype(jnp.float32)
+
+        K1 = self._stage1(t, h, y, [])
+        G2 = self._g(h, D1, dD(t + h / 3), y, [(1.0 / 3.0, K1)])
+        G3 = self._g(h, D1, dD(t + h / 3), y,
+                     [(1.0 / 3.0, K1), (1.0 / 6.0, G2)])
+        G4 = self._g(h, D1, dD(t + h / 2), y,
+                     [(0.5, K1), (0.375, G3)])
+        dy, eps_blocks = self._g(
+            h, D1, dD(t + h), y,
+            [(1.0, K1), (-1.5, G3), (2.0, G4)], stage5=True, emit="dy")
+        return (y5, dy), eps_blocks
+
+    def commit(self, carry_spec, accept):
+        y5, dy = carry_spec
+        y_hi, y_lo = y5[:K_VARS], y5[N_VARS:]
+        t1 = dy + y_lo
+        s = y_hi + t1
+        bb = s - y_hi
+        err = (y_hi - (s - bb)) + (t1 - bb)
+        new_hi = jnp.where(accept, s, y_hi)
+        new_lo = jnp.where(accept, err, y_lo)
+        out = lax.dynamic_update_slice(y5, new_hi, (0,) * y5.ndim)
+        return lax.dynamic_update_slice(
+            out, new_lo, (N_VARS,) + (0,) * (y5.ndim - 1))
+
+    def unpack(self, y5):
+        # keep the lo planes in the carried state (chunked drivers);
+        # strip with y[:3] for output
+        return y5
+
+
 def make_delta_attempt(geom: GridGeometry, params: FreezingParams,
                        calc_mode: int, *, bz: int = 0,
                        layout: str = DEFAULT_LAYOUT,
                        interpret: bool = False,
-                       vmem_limit_mb: int = 0) -> DeltaAttempt:
-    return DeltaAttempt(geom, params, calc_mode, bz=bz, layout=layout,
-                        interpret=interpret, vmem_limit_mb=vmem_limit_mb)
+                       vmem_limit_mb: int = 0,
+                       compensated: bool = False) -> DeltaAttempt:
+    cls = DeltaAttemptComp if compensated else DeltaAttempt
+    return cls(geom, params, calc_mode, bz=bz, layout=layout,
+               interpret=interpret, vmem_limit_mb=vmem_limit_mb)
 
 
 # ---------------------------------------------------------------------------

@@ -240,7 +240,7 @@ class ShardedDeltaAttempt:
     def __init__(self, geom: GridGeometry, params: FreezingParams,
                  calc_mode: int, mesh: Mesh, axis_name: str = "z", *,
                  bz: int = 0, layout: str = "flat",
-                 interpret: bool = False):
+                 interpret: bool = False, compensated: bool = False):
         nz = mesh.shape[axis_name]
         Z = geom.n3
         if Z % nz:
@@ -251,6 +251,11 @@ class ShardedDeltaAttempt:
         self.geom = geom
         self.layout = layout
         self.kshape = padded_shape(geom, layout)
+        # compensated (double-f32) commit: same TwoSum accumulation as
+        # stencil.DeltaAttemptComp, with the lo planes riding the mesh
+        # under the same z-sharding as the state
+        self.compensated = compensated
+        self.kshape5 = (self.kshape[0] + K_VARS,) + self.kshape[1:]
         self._prm = params
         self._mesh = mesh
         self._axis = axis_name
@@ -265,13 +270,13 @@ class ShardedDeltaAttempt:
         self._up = [(i, (i + 1) % nz) for i in range(nz)]
         self._down = [(i, (i - 1) % nz) for i in range(nz)]
 
-    def _g(self, h, D1, dDi, w, ks, stage5=False):
+    def _g(self, h, D1, dDi, w, ks, stage5=False, emit="y"):
         axis = self._axis
         nz = self._nz
         spec = P(None, axis, None, None)
         scal = P()
         coefs = tuple(c for c, _ in ks)
-        key = (coefs, stage5)
+        key = (coefs, stage5, emit)
         if key not in self._calls:
             nk = len(coefs)
             eps_spec = P(axis, None, None)
@@ -303,7 +308,8 @@ class ShardedDeltaAttempt:
                 return self._inner_g(h_, D1_, dDi_, w_l,
                                      list(zip(coefs, k_l)),
                                      ghosts=(ghost_lo, ghost_hi),
-                                     is_top=is_top, stage5=stage5)
+                                     is_top=is_top, stage5=stage5,
+                                     emit=emit)
 
             self._calls[key] = impl
         return self._calls[key](jnp.asarray(h), jnp.asarray(D1),
@@ -312,6 +318,16 @@ class ShardedDeltaAttempt:
     # --- merson_solve attempt_fn protocol (same as DeltaAttempt) ---
 
     def pack(self, y):
+        if self.compensated:
+            if y.shape == self.kshape5:    # merson_solve re-packs
+                return y
+            if y.shape != self.kshape:
+                raise ValueError(
+                    f"ShardedDeltaAttempt expects the padded "
+                    f"{self.layout!r} layout {self.kshape} (or its "
+                    f"packed 5-plane form), got {y.shape}")
+            lo = jnp.zeros_like(y[:K_VARS])
+            return jnp.concatenate([y, lo], axis=0)
         if y.shape != self.kshape:
             raise ValueError(
                 f"ShardedDeltaAttempt expects the padded {self.layout!r} "
@@ -320,6 +336,10 @@ class ShardedDeltaAttempt:
 
     def attempt(self, t, h, y):
         prm = self._prm
+        nv = self.kshape[0]
+        y5 = y if self.compensated else None
+        if self.compensated:
+            y = y5[:nv]
         D1 = physics.dirichlet_top(t, prm)
 
         def dD(ts):
@@ -334,16 +354,32 @@ class ShardedDeltaAttempt:
                      [(0.5, K1), (0.375, G3)])
         y_spec, eps_blocks = self._g(
             h, D1, dD(t + h), y,
-            [(1.0, K1), (-1.5, G3), (2.0, G4)], stage5=True)
-        return (y, y_spec), eps_blocks
+            [(1.0, K1), (-1.5, G3), (2.0, G4)], stage5=True,
+            emit="dy" if self.compensated else "y")
+        return ((y5, y_spec) if self.compensated else (y, y_spec),
+                eps_blocks)
 
     def commit(self, carry_spec, accept):
         y, y_spec = carry_spec
+        if self.compensated:
+            nv = self.kshape[0]
+            y_hi, y_lo = y[:K_VARS], y[nv:]
+            t1 = y_spec + y_lo                 # y_spec is the bare dy
+            s = y_hi + t1
+            bb = s - y_hi
+            err = (y_hi - (s - bb)) + (t1 - bb)
+            new_hi = jnp.where(accept, s, y_hi)
+            new_lo = jnp.where(accept, err, y_lo)
+            out = lax.dynamic_update_slice(y, new_hi, (0,) * y.ndim)
+            return lax.dynamic_update_slice(
+                out, new_lo, (nv,) + (0,) * (y.ndim - 1))
         sel = jnp.where(accept, y_spec, y[:K_VARS])
         return lax.dynamic_update_slice(y, sel.astype(y.dtype),
                                         (0,) * y.ndim)
 
     def unpack(self, y):
+        # compensated: lo planes stay in the carried state (strip with
+        # y[:3] for output)
         return y
 
 
@@ -351,7 +387,9 @@ def make_sharded_delta_attempt(geom: GridGeometry, params: FreezingParams,
                                calc_mode: int, mesh: Mesh,
                                axis_name: str = "z", *, bz: int = 0,
                                layout: str = "flat",
-                               interpret: bool = False
+                               interpret: bool = False,
+                               compensated: bool = False
                                ) -> ShardedDeltaAttempt:
     return ShardedDeltaAttempt(geom, params, calc_mode, mesh, axis_name,
-                               bz=bz, layout=layout, interpret=interpret)
+                               bz=bz, layout=layout, interpret=interpret,
+                               compensated=compensated)

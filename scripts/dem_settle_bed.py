@@ -33,6 +33,9 @@ def main() -> int:
     ap.add_argument("--neighbor", default="dense",
                     choices=["dense", "cell_list", "cell_roll",
                              "cell_lanes"])
+    ap.add_argument("--device-buffer", type=int, default=0,
+                    help="batch B snapshots per dispatched program "
+                         "(collapses per-snapshot tunnel round trips)")
     args = ap.parse_args()
 
     from porousfreezethaw_tpu.apps.spheres import main as spheres_main
@@ -46,6 +49,8 @@ def main() -> int:
             "--final-positions", final]
     if args.platform:
         argv += ["--platform", args.platform]
+    if args.device_buffer:
+        argv += ["--device-buffer", str(args.device_buffer)]
     rc = spheres_main(argv)
     if rc:
         return rc

@@ -61,16 +61,30 @@ t_end = t0 + n_iv * iv
 print(f"LR f64 checkpoint t={t0:.1f}s tau={tau:.4e}; integrating "
       f"{n_iv} interval(s) to t={t_end:.1f}s", flush=True)
 
-pf = parse_param_file(freezing_params_text(grid_nodes=n3, calc_mode=0),
-                      env={"OUTPUT": "/tmp"})
-prm0 = FreezingParams.from_dict(pf.vars)
-geom = GridGeometry(pf.vars["L1"], pf.vars["L2"], pf.vars["L3"], n1, n2, n3)
+# params from the checkpoint's OWN attrs — cases.py's generator is the
+# bench case, which differs from the shipped Params (xi_gl); the golden
+# runs use the shipped file, so the A/B must too
+prm0 = FreezingParams.from_dict(data.attrs)
+geom = GridGeometry(data.attrs["L1"], data.attrs["L2"], data.attrs["L3"],
+                    n1, n2, n3)
 prm = shift_temperature_origin(prm0, prm0.u_star)
-delta = pf.vars["delta"]
+delta = float(data.attrs["delta"])
 
 # the f32 production storage of this state
 w32 = np.stack([(u - prm0.u_star).astype(np.float32),
                 p.astype(np.float32), gl.astype(np.float32)])
+
+class _Bf16PhaseAttempt(XlaDeltaAttempt):
+    """f32 attempt whose committed p is quantized through bf16 — the
+    VERDICT r4 #7 storage experiment (p/gl in bf16, f32 compute),
+    measured at the controller level: the step-count impact bounds any
+    kernel implementation of bf16 phase storage from below."""
+
+    def commit(self, carry_spec, accept):
+        y = super().commit(carry_spec, accept)
+        pq = y[1].astype(jnp.bfloat16).astype(y.dtype)
+        return y.at[1].set(pq)
+
 
 for name in configs:
     if name == "f64":
@@ -79,6 +93,11 @@ for name in configs:
     elif name == "f32":
         att = XlaDeltaAttempt(geom, prm, calc_mode=0)
         w = jnp.asarray(w32)
+    elif name == "bf16p":
+        att = _Bf16PhaseAttempt(geom, prm, calc_mode=0)
+        w = jnp.asarray(w32)
+        w = w.at[1].set(w[1].astype(jnp.bfloat16).astype(w.dtype))
+        w = w.at[2].set(w[2].astype(jnp.bfloat16).astype(w.dtype))
     else:
         att = XlaDeltaAttemptComp(geom, prm, calc_mode=0)
         w = jnp.asarray(w32)

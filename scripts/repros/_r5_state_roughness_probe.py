@@ -54,18 +54,19 @@ tau = float(data.attrs["tau"])
 n3, n2, n1 = u.shape
 print(f"state {n1}x{n2}x{n3} at t={t0:.1f}s, checkpoint tau={tau:.3e}")
 
-pf = parse_param_file(freezing_params_text(grid_nodes=n3, calc_mode=0),
-                      env={"OUTPUT": "/tmp"})
-prm0 = FreezingParams.from_dict(pf.vars)
-geom = GridGeometry(pf.vars["L1"], pf.vars["L2"], pf.vars["L3"], n1, n2, n3)
+# params from the checkpoint's own attrs (the shipped Params, not the
+# bench case generator — they differ in xi_gl)
+prm0 = FreezingParams.from_dict(data.attrs)
+geom = GridGeometry(data.attrs["L1"], data.attrs["L2"], data.attrs["L3"],
+                    n1, n2, n3)
 prm = shift_temperature_origin(prm0, prm0.u_star)
-delta = pf.vars["delta"]
+delta = float(data.attrs["delta"])
 
 w32 = np.stack([(u - prm0.u_star).astype(np.float32).astype(np.float64),
                 p.astype(np.float32).astype(np.float64),
                 gl.astype(np.float32).astype(np.float64)])
 
-params = MersonParams(delta=delta, h_min=pf.vars.get("tau_min", 1e-6))
+params = MersonParams(delta=delta, h_min=1e-6)
 
 for name, dtype in (("f64", jnp.float64), ("f32", jnp.float32)):
     att = XlaDeltaAttempt(geom, prm, calc_mode=0)

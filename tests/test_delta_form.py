@@ -207,3 +207,70 @@ class TestDeltaAttemptPallas:
         y64 = np.asarray(st64.y)
         scale = np.abs(y64[:2]).max()
         assert np.abs(y32[:2] - y64[:2]).max() / scale < 1e-4
+
+
+class TestCompensatedCommit:
+    """The compensated (double-f32) commit variants: XlaDeltaAttemptComp
+    (oracle) and the Pallas DeltaAttemptComp (emit="dy" tail + TwoSum
+    accumulation) — round 5."""
+
+    def _padded(self, case):
+        from porousfreezethaw_tpu.ops.pallas.stencil import pad_state
+        geom, prm, w, _ = case
+        w32 = jnp.asarray(w, jnp.float32)
+        return geom, prm, w32, pad_state(w32, geom)
+
+    def test_xla_comp_eps_matches_plain(self, case):
+        """Same estimator as the plain delta attempt (only the commit
+        changes); the committed hi state equals fl32(exact sum)."""
+        from porousfreezethaw_tpu.models.freezing.delta import (
+            XlaDeltaAttempt, XlaDeltaAttemptComp)
+        geom, prm, w32, _ = self._padded(case)
+        t, h = 100.0, 0.05
+        plain = XlaDeltaAttempt(geom, prm, 0)
+        comp = XlaDeltaAttemptComp(geom, prm, 0)
+        (_, spec), eps_a = plain.attempt(t, h, w32)
+        y5 = comp.pack(w32)
+        assert comp.pack(y5).shape == y5.shape     # idempotent
+        (_, dy), eps_b = comp.attempt(t, h, y5)
+        np.testing.assert_allclose(float(jnp.max(eps_a)),
+                                   float(jnp.max(eps_b)), rtol=1e-6)
+        committed = comp.commit((y5, dy), jnp.asarray(True))
+        # hi + lo == exact f64 sum of hi0 + dy to ~ulp^2
+        exact = (np.asarray(w32[:2], np.float64)
+                 + np.asarray(dy, np.float64))
+        got = (np.asarray(committed[:2], np.float64)
+               + np.asarray(committed[3:], np.float64))
+        np.testing.assert_allclose(got, exact, rtol=0, atol=1e-12)
+        # reject keeps everything
+        kept = comp.commit((y5, dy), jnp.asarray(False))
+        np.testing.assert_array_equal(np.asarray(kept), np.asarray(y5))
+
+    def test_pallas_comp_matches_xla_comp(self, case):
+        """Pallas DeltaAttemptComp == XlaDeltaAttemptComp: same dy (up
+        to layout summation order), same eps, same committed (hi, lo)."""
+        from porousfreezethaw_tpu.models.freezing.delta import (
+            XlaDeltaAttemptComp)
+        from porousfreezethaw_tpu.ops.pallas.stencil import (
+            make_delta_attempt, unpad_state)
+        geom, prm, w32, wp = self._padded(case)
+        t, h = 100.0, 0.05
+        pal = make_delta_attempt(geom, prm, 0, bz=2, interpret=True,
+                                 compensated=True)
+        y5p = pal.pack(wp)
+        assert y5p.shape[0] == 5
+        (_, dy_p), eps_p = pal.attempt(jnp.asarray(t, jnp.float64),
+                                       jnp.asarray(h, jnp.float64), y5p)
+        xla = XlaDeltaAttemptComp(geom, prm, 0)
+        y5x = xla.pack(w32)
+        (_, dy_x), eps_x = xla.attempt(t, h, y5x)
+        np.testing.assert_allclose(
+            np.asarray(unpad_state(dy_p, geom)), np.asarray(dy_x),
+            rtol=1e-5, atol=1e-6)
+        a, b = float(jnp.max(eps_p)), float(jnp.max(eps_x))
+        assert abs(a - b) <= 1e-3 * max(a, b) + 1e-7
+        com_p = pal.commit((y5p, dy_p), jnp.asarray(True))
+        com_x = xla.commit((y5x, dy_x), jnp.asarray(True))
+        np.testing.assert_allclose(
+            np.asarray(unpad_state(com_p[:3], geom)),
+            np.asarray(com_x[:3]), rtol=1e-5, atol=1e-6)

@@ -117,3 +117,33 @@ class TestSolveInvariance:
             steps, total, y = results[spec]
             assert (steps, total) == (base_steps, base_total)
             assert np.array_equal(y, base_y)
+
+
+class TestCompensatedSharded:
+    @pytest.mark.parametrize("mesh_spec", MESHES)
+    def test_comp_attempt_bitwise(self, case, mesh_spec):
+        """The compensated-commit variant must also be bitwise mesh-
+        invariant.  This specifically guards the emit="dy" tail's
+        contraction-proof formulation (round 5): the bare increment's
+        low bits feed the TwoSum commit, and XLA would FMA-contract
+        `h*K1 + x` in one program but not another without the int32
+        bitcast laundering in the kernel (stencil.py)."""
+        from porousfreezethaw_tpu.ops.pallas.stencil import DeltaAttemptComp
+        geom, prm, w = case
+        wp = pad_state(w, geom)
+        single = DeltaAttemptComp(geom, prm, 0, interpret=True)
+        mesh = make_mesh(mesh_spec)
+        sharded = ShardedDeltaAttempt(geom, prm, 0, mesh,
+                                      interpret=True, compensated=True)
+        wp_s = jax.device_put(wp, padded_sharding(mesh))
+        t, h = 7200.0, 0.05
+        y5a = single.pack(wp)
+        y5b = sharded.pack(wp_s)
+        (ca_, dy_a), eps_a = single.attempt(t, h, y5a)
+        (cb_, dy_b), eps_b = sharded.attempt(t, h, y5b)
+        assert np.array_equal(np.asarray(dy_a), np.asarray(dy_b))
+        assert float(jnp.max(eps_a)) == float(jnp.max(eps_b))
+        for acc in (True, False):
+            ca = single.commit((y5a, dy_a), jnp.asarray(acc))
+            cb = sharded.commit((y5b, dy_b), jnp.asarray(acc))
+            assert np.array_equal(np.asarray(ca), np.asarray(cb))
