@@ -44,6 +44,13 @@ from ..solvers.merson import (
 DEFAULT_BALL_POSITIONS = "data/spheres_positions.txt"  # equation.c:35
 
 
+def _rows_ok_2d(geom, ny: int) -> bool:
+    """2-D (z,y) Pallas sharding needs >= 8 ghost-reach lane rows per
+    y-shard; smaller grids fall back to GSPMD sharding."""
+    from ..parallel.fused import padded_rows_2d
+    return padded_rows_2d(geom, ny) // ny >= 8
+
+
 class IntertrackError(RuntimeError):
     pass
 
@@ -240,6 +247,7 @@ def run_iteration(
     # commit-rounding accumulation), so the plain commit stays the
     # production path; `compensated_commit 1` enables the variant
     use_comp = bool(pf.vars.get("compensated_commit", 0.0))
+    padded_2d = False
     if mesh_axes:
         mesh = make_mesh(mesh_axes)
         log("Device mesh: %s\n", dict(zip(mesh.axis_names, mesh.devices.shape)))
@@ -269,6 +277,28 @@ def run_iteration(
             w_dev = jax.device_put(pad_state(w_dev, geom),
                                    padded_sharding(mesh))
             unpad = lambda y: np.asarray(unpad_state(y, geom))
+        elif (fused_ok and use_delta
+              and set(mesh.axis_names) == {"z", "y"}
+              and geom.n3 % nz == 0 and geom.n3 // nz >= 2
+              and _rows_ok_2d(geom, mesh.shape.get("y", 1))):
+            # 2-D (z, y) sharded delta path (round 5): raw-edge
+            # lane-row ppermute over the y ring + the z-plane protocol
+            # on the y-extended arrays (ShardedDeltaAttempt2D) — lifts
+            # the 1-D path's n3/2-shard cap; the reference cannot
+            # decompose 2-D at all (intertrack.c:1780-1789)
+            from ..parallel.fused import (
+                ShardedDeltaAttempt2D, pad_state_2d, padded_sharding_2d,
+                unpad_state_2d)
+            ny = mesh.shape["y"]
+            attempt_fn = ShardedDeltaAttempt2D(
+                geom, solver_params, calc_mode, mesh,
+                interpret=fused_interp)
+            log("Fused Pallas increment-form (delta) attempt: ON "
+                "(sharded over z=%d, y=%d)\n", nz, ny)
+            w_dev = jax.device_put(pad_state_2d(w_dev, geom, ny),
+                                   padded_sharding_2d(mesh))
+            unpad = lambda y: np.asarray(unpad_state_2d(y, geom))
+            padded_2d = True
         else:
             w_dev = shard_freezing_state(w_dev, mesh)
     elif fused_ok:
@@ -465,12 +495,16 @@ def run_iteration(
             t=float(state.t), final_time=final_time, snapshot=(
                 snapshot - 1 if is_on_demand else snapshot),
             total_snapshots=total_snapshots, comment=comment)
-        if mesh_axes and pf.grid_io_mode == "inner":
-            # gather-free path for BOTH mesh layouts: the raw XLA state
-            # (unshift on device, sharding preserved) and the fused/
-            # delta kernels' padded flat layout (per-shard unpad +
+        if mesh_axes and pf.grid_io_mode == "inner" and not padded_2d:
+            # gather-free path for BOTH 1-D mesh layouts: the raw XLA
+            # state (unshift on device, sharding preserved) and the
+            # fused/delta kernels' padded flat layout (per-shard unpad +
             # unshift on host; the writer detects the layout) — the
-            # production mesh path never gathers the grid (round 5)
+            # production mesh path never gathers the grid (round 5).
+            # The 2-D (z,y) path still gathers: its R-dim shards need a
+            # flat-offset-aware writer (queued; each shard's rows are a
+            # contiguous flat range per z-plane, so it is a
+            # straightforward extension)
             from ..io.snapshots import write_snapshot_sharded
             y_out = state.y
             if y_out.shape[0] > 3:     # strip compensated-commit lo planes

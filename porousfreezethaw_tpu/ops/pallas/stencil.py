@@ -40,7 +40,7 @@ XLA stencil in equation.py.  Formulas come from the shared
 
 from __future__ import annotations
 
-from typing import Dict, Sequence, Tuple
+from typing import Dict, Optional, Sequence, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -296,7 +296,15 @@ def _validated_budget(geom: GridGeometry, layout: str, probe,
 def _make_neighbors(geom: GridGeometry, layout: str):
     """Neighbor extraction on per-variable VMEM slabs with valid z ghost
     planes: returns ``neighbors(fields, last_block, bz_) -> (dict, valid)``
-    where ``fields`` maps "u"/"p"/"gl" to a ``(bz+2,) + plane`` slab."""
+    where ``fields`` maps "u"/"p"/"gl" to a ``(bz+2,) + plane`` slab.
+
+    2-D (z,y) sharding support (flat layout): ``row0`` — a traced i32
+    scalar — offsets the lane-row iota so the x/y decoding (and with it
+    every mirror-edge mask) is GLOBAL when the slab covers one shard's
+    row range extended by ghost rows; ``row_window=(lo, hi)`` (static)
+    additionally restricts ``valid`` to the shard's own rows so ghost
+    rows (whose shifted reads may wrap) never contribute to the K
+    output or the stage-5 error max."""
     Y0, X0 = geom.n2, geom.n1
 
     def neighbors_block(fields, last_block, bz_):
@@ -324,7 +332,8 @@ def _make_neighbors(geom: GridGeometry, layout: str):
         valid = (yi < Y0) & (xi < X0)
         return out, valid
 
-    def neighbors_flat(fields, last_block, bz_):
+    def neighbors_flat(fields, last_block, bz_, row0=None,
+                       row_window=None):
         """fields: (bz+2, R, 128) slabs — flattened planes folded into lane
         rows, valid z ghosts.  A flat offset d decomposes into a lane roll
         by d%128 plus a row roll, with the row roll one deeper for lanes
@@ -332,7 +341,8 @@ def _make_neighbors(geom: GridGeometry, layout: str):
         C = slice(1, bz_ + 1)
         R = next(iter(fields.values())).shape[1]
         shape3 = (next(iter(fields.values())).shape[0], R, _LANES)
-        row = lax.broadcasted_iota(jnp.int32, shape3, 1)
+        lrow = lax.broadcasted_iota(jnp.int32, shape3, 1)
+        row = lrow if row0 is None else lrow + row0
         lane = lax.broadcasted_iota(jnp.int32, shape3, 2)
         flat = row * _LANES + lane
         # int32 divisor: under x64 a bare python int becomes a weak-i64
@@ -367,6 +377,9 @@ def _make_neighbors(geom: GridGeometry, layout: str):
             out[name + "zm"] = f[0:bz_]
             out[name + "zp"] = f[2:bz_ + 2]
         valid = (flat < Y0 * X0)[C]
+        if row_window is not None:
+            lo, hi = row_window
+            valid = valid & (lrow[C] >= lo) & (lrow[C] < hi)
         return out, valid
 
     return neighbors_flat if layout == "flat" else neighbors_block
@@ -376,7 +389,9 @@ def make_fused_stage(geom: GridGeometry, params: FreezingParams,
                      calc_mode: int, *, bz: int = 0,
                      layout: str = DEFAULT_LAYOUT, interpret: bool = False,
                      vmem_limit_mb: int = 0, n3_local: int = 0,
-                     shard_ghosts: bool = False, pipelined: bool = True):
+                     shard_ghosts: bool = False, pipelined: bool = True,
+                     plane_rows: int = 0,
+                     row_window: Optional[Tuple[int, int]] = None):
     """Build ``stage(t_stage, h, w, ks) -> K`` where ``ks`` is a list of
     ``(coef, K_i)`` pairs entering the combination ``w + h*sum(c_i K_i)``.
     Operates on the padded ``layout`` (see pad_state/unpad_state).
@@ -402,8 +417,13 @@ def make_fused_stage(geom: GridGeometry, params: FreezingParams,
     Z = n3_local or geom.n3
     import dataclasses as _dc
     geom_local = _dc.replace(geom, n3=Z) if n3_local else geom
-    kshape = (N_VARS, Z) + padded_shape(geom, layout)[2:]
-    kvshape = (K_VARS, Z) + padded_shape(geom, layout)[2:]
+    shard_rows = bool(plane_rows)
+    if shard_rows and layout != "flat":
+        raise ValueError("plane_rows (2-D sharding) needs the flat layout")
+    tail2 = ((plane_rows, _LANES) if shard_rows
+             else padded_shape(geom, layout)[2:])
+    kshape = (N_VARS, Z) + tail2
+    kvshape = (K_VARS, Z) + tail2
     neighbors = _make_neighbors(geom, layout)
     n_ghost = 2 if shard_ghosts else 0
     # resolved Mosaic scoped-vmem limit: the user's override, or the
@@ -439,7 +459,12 @@ def make_fused_stage(geom: GridGeometry, params: FreezingParams,
                             D, aux)
 
         fields = {"u": aux[0], "p": aux[1], "gl": gls}
-        n, valid = neighbors(fields, last, bz_)
+        if shard_rows:
+            row0 = jnp.asarray(scal_ref[0, 2 + nk], jnp.int32)
+            n, valid = neighbors(fields, last, bz_, row0=row0,
+                                 row_window=row_window)
+        else:
+            n, valid = neighbors(fields, last, bz_)
         du, dp = _compute_rhs(mode, prm, coeffs, geom, n)
         zero = jnp.zeros_like(du)
         k_out = jnp.stack([jnp.where(valid, du, zero),
@@ -457,6 +482,10 @@ def make_fused_stage(geom: GridGeometry, params: FreezingParams,
         k3c = slabs[2][:, C]
         k4c = slabs[3][:, C]
         err = (0.2 * k1c - 0.9 * k3c + 0.8 * k4c - 0.1 * k_out)
+        if shard_rows:
+            # see make_delta_g's stage-5 tail: ghost rows must not
+            # enter the error max
+            err = jnp.where(valid, err, 0.0)
         eps = jnp.max(jnp.abs(err))
         y_out = slabs[0][:K_VARS, C] + (h / 3.0) * (
             0.5 * (k1c + k_out) + 2.0 * k4c)
@@ -733,7 +762,8 @@ def make_fused_stage(geom: GridGeometry, params: FreezingParams,
                     k_s = jax.ShapeDtypeStruct(kvshape, jnp.float32)
                     g_s = [jax.ShapeDtypeStruct((4, 3) + kshape[2:],
                                                 jnp.float32)] * n_ghost
-                    scal5 = jax.ShapeDtypeStruct((1, 5), jnp.float32)
+                    scal5 = jax.ShapeDtypeStruct(
+                        (1, 5 + int(shard_rows)), jnp.float32)
                     if pipelined:
                         call = build_call_pipe(3, bz_, stage5=True)
                         args = [scal5] + [w_s] * 3 + [k_s] * 9 + g_s
@@ -757,6 +787,8 @@ def make_fused_stage(geom: GridGeometry, params: FreezingParams,
                             jax.jit(edge).lower(*eargs).compile()
                 kind = ("pipe-" if pipelined else "") + (
                     "stage-ghost" if shard_ghosts else "stage")
+                if shard_rows:
+                    kind += f"-r{plane_rows}"
                 b, lim = _validated_budget(
                     geom_local, layout, probe, kind, kvars=K_VARS,
                     buffers=2 if pipelined else 1,
@@ -767,7 +799,7 @@ def make_fused_stage(geom: GridGeometry, params: FreezingParams,
         return budget_ref[0]
 
     def _call(t_stage, h, w, ks, ghosts=(), stage5=False, part="all",
-              prev=()):
+              prev=(), row0=0):
         nk = len(ks)
         if w.shape != kshape:
             raise ValueError(
@@ -793,11 +825,16 @@ def make_fused_stage(geom: GridGeometry, params: FreezingParams,
         if key not in calls:
             builder = build_call_pipe if pipe else build_call
             calls[key] = builder(nk, bz_, stage5, part)
-        scal = jnp.concatenate([
+        parts = [
             jnp.reshape(jnp.asarray(t_stage, jnp.float32), (1,)),
             jnp.reshape(jnp.asarray(h, jnp.float32), (1,)),
             jnp.asarray([c for c, _ in ks], jnp.float32).reshape(nk),
-        ]).reshape(1, nk + 2)
+        ]
+        n_scal = nk + 2
+        if shard_rows:
+            parts.append(jnp.reshape(jnp.asarray(row0, jnp.float32), (1,)))
+            n_scal += 1
+        scal = jnp.concatenate(parts).reshape(1, n_scal)
         # trace the kernel in x32 mode: under x64, Mosaic materializes
         # DMA slice indices as i64, which tpu.memref_slice rejects
         # (observed on jax 0.9.0); all kernel operands are f32 anyway
@@ -820,15 +857,16 @@ def make_fused_stage(geom: GridGeometry, params: FreezingParams,
         return Z // bz_
 
     if shard_ghosts:
-        def stage(t_stage, h, w, ks, ghost_lo, ghost_hi):
-            return _call(t_stage, h, w, ks, (ghost_lo, ghost_hi))
+        def stage(t_stage, h, w, ks, ghost_lo, ghost_hi, row0=0):
+            return _call(t_stage, h, w, ks, (ghost_lo, ghost_hi),
+                         row0=row0)
 
-        def stage5(t_stage, h, w, ks, ghost_lo, ghost_hi):
+        def stage5(t_stage, h, w, ks, ghost_lo, ghost_hi, row0=0):
             if len(ks) != 3:
                 raise ValueError(
                     "stage5 takes the 3-term K1/K3/K4 combination")
             return _call(t_stage, h, w, ks, (ghost_lo, ghost_hi),
-                         stage5=True)
+                         stage5=True, row0=row0)
 
         def stage_interior(t_stage, h, w, ks, stage5=False):
             """Interior z-blocks only — independent of the ghosts, so the
@@ -887,7 +925,8 @@ def make_delta_g(geom: GridGeometry, params: FreezingParams,
                  calc_mode: int, *, bz: int = 0,
                  layout: str = DEFAULT_LAYOUT, interpret: bool = False,
                  vmem_limit_mb: int = 0, n3_local: int = 0,
-                 shard_ghosts: bool = False):
+                 shard_ghosts: bool = False, plane_rows: int = 0,
+                 row_window: Optional[Tuple[int, int]] = None):
     """Build the increment-form stage kernel
     ``g(h, D1, dDi, w, ks, ghosts=(), is_top=None, stage5=False)``
     computing ``G = f(w + d) - f(w)`` with ``d = h * sum(c_i K_i)``
@@ -903,7 +942,15 @@ def make_delta_g(geom: GridGeometry, params: FreezingParams,
     ghost := D(t1), increment u ghost := D(ti)-D(t1)) so only the
     global-top shard applies them; the d-ghost is otherwise assembled
     from the raw K/G ghost planes by the kernel's own combination
-    arithmetic, keeping sharded == single-device bitwise."""
+    arithmetic, keeping sharded == single-device bitwise.
+
+    ``plane_rows``/``row_window`` adapt the kernel to one (z, y)-shard
+    of a 2-D mesh (flat layout): the slab covers ``plane_rows`` lane
+    rows — the shard's own rows extended by the caller's ghost-row
+    blocks — the x/y mirror masks decode GLOBAL coordinates via a
+    traced row-offset scalar (appended to scal by the caller protocol),
+    and ``row_window`` keeps ghost rows out of the K output and the
+    stage-5 error max (see _make_neighbors)."""
     from ...models.freezing.delta import compute_rhs_delta
     mode = CalcMode(calc_mode)
     prm = params
@@ -911,8 +958,13 @@ def make_delta_g(geom: GridGeometry, params: FreezingParams,
     Z = n3_local or geom.n3
     import dataclasses as _dc
     geom_local = _dc.replace(geom, n3=Z) if n3_local else geom
-    kshape = (N_VARS, Z) + padded_shape(geom, layout)[2:]
-    kvshape = (K_VARS, Z) + padded_shape(geom, layout)[2:]
+    shard_rows = bool(plane_rows)
+    if shard_rows and layout != "flat":
+        raise ValueError("plane_rows (2-D sharding) needs the flat layout")
+    tail2 = ((plane_rows, _LANES) if shard_rows
+             else padded_shape(geom, layout)[2:])
+    kshape = (N_VARS, Z) + tail2
+    kvshape = (K_VARS, Z) + tail2
     neighbors = _make_neighbors(geom, layout)
     n_ghost = 2 if shard_ghosts else 0
     calls = {}
@@ -977,7 +1029,12 @@ def make_delta_g(geom: GridGeometry, params: FreezingParams,
 
             fields = {"u": wsl[0], "p": wsl[1], "gl": wsl[2],
                       "a": dsl[0], "b": dsl[1]}
-            n, valid = neighbors(fields, last, bz_)
+            if shard_rows:
+                row0 = jnp.asarray(scal_ref[0, 4 + nk], jnp.int32)
+                n, valid = neighbors(fields, last, bz_, row0=row0,
+                                     row_window=row_window)
+            else:
+                n, valid = neighbors(fields, last, bz_)
             gu, gp = compute_rhs_delta(mode, prm, coeffs, geom, n)
             zero = jnp.zeros_like(gu)
             g_out = jnp.stack([jnp.where(valid, gu, zero),
@@ -992,6 +1049,12 @@ def make_delta_g(geom: GridGeometry, params: FreezingParams,
             g3c = slabs[2][:, C]
             g4c = slabs[3][:, C]
             err = -0.9 * g3c + 0.8 * g4c - 0.1 * g_out
+            if shard_rows:
+                # ghost rows carry real neighbor K values but a masked
+                # g_out — their err is meaningless and must not enter
+                # the max (the shard's own rows already cover every
+                # global cell exactly once)
+                err = jnp.where(valid, err, 0.0)
             eps = jnp.max(jnp.abs(err))
             if emit == "dy":
                 # the bare increment is the compensated commit's input;
@@ -1012,8 +1075,11 @@ def make_delta_g(geom: GridGeometry, params: FreezingParams,
                 xi = lax.bitcast_convert_type(x_term, jnp.int32) ^ rt_zero
                 y_out = u_term + lax.bitcast_convert_type(xi, jnp.float32)
             else:
-                dy = h * k1c + (h / 3.0) * (2.0 * g4c + 0.5 * g_out)
-                y_out = slabs[0][:K_VARS, C] + dy
+                # NOTE: keep this exact association — it is the round-3/4
+                # expression whose cross-program contraction behavior the
+                # bitwise sharded==single contract was validated on
+                y_out = (slabs[0][:K_VARS, C] + h * k1c
+                         + (h / 3.0) * (2.0 * g4c + 0.5 * g_out))
             outs[0][:] = y_out
             outs[1][:] = jnp.broadcast_to(eps, outs[1].shape)
 
@@ -1069,13 +1135,16 @@ def make_delta_g(geom: GridGeometry, params: FreezingParams,
                     g_s = [jax.ShapeDtypeStruct((4, 3) + kshape[2:],
                                                 jnp.float32)] * n_ghost
                     call = build_g(3, bz_, stage5=True)
-                    args = ([jax.ShapeDtypeStruct((1, 7), jnp.float32)]
+                    args = ([jax.ShapeDtypeStruct((1, 7 + int(shard_rows)),
+                                                  jnp.float32)]
                             + [w_s] * 3 + [k_s] * 9 + g_s)
                     with jax.enable_x64(False):
                         jax.jit(call).lower(*args).compile()
+                kind = "delta-ghost" if shard_ghosts else "delta"
+                if shard_rows:
+                    kind += f"-r{plane_rows}"
                 b, lim = _validated_budget(
-                    geom_local, layout, probe,
-                    "delta-ghost" if shard_ghosts else "delta",
+                    geom_local, layout, probe, kind,
                     kvars=K_VARS, buffers=2,
                     escalate=not vmem_limit_mb,
                     user_limit_mb=vmem_limit_mb)
@@ -1084,7 +1153,7 @@ def make_delta_g(geom: GridGeometry, params: FreezingParams,
         return budget_ref[0]
 
     def g_call(h, D1, dDi, w, ks, ghosts=(), is_top=None, stage5=False,
-               emit="y"):
+               emit="y", row0=0):
         nk = len(ks)
         if len(ghosts) != n_ghost:
             raise ValueError(
@@ -1103,13 +1172,21 @@ def make_delta_g(geom: GridGeometry, params: FreezingParams,
         if key not in calls:
             calls[key] = build_g(nk, bz_, stage5, emit)
         top = 1.0 if is_top is None else is_top
-        scal = jnp.concatenate([
+        parts = [
             jnp.reshape(jnp.asarray(h, jnp.float32), (1,)),
             jnp.reshape(jnp.asarray(D1, jnp.float32), (1,)),
             jnp.reshape(jnp.asarray(dDi, jnp.float32), (1,)),
             jnp.reshape(jnp.asarray(top, jnp.float32), (1,)),
             jnp.asarray([c for c, _ in ks], jnp.float32).reshape(nk),
-        ]).reshape(1, nk + 4)
+        ]
+        n_scal = nk + 4
+        if shard_rows:
+            # global row offset of this shard's slab (exact in f32 for
+            # any realistic row count)
+            parts.append(jnp.reshape(
+                jnp.asarray(row0, jnp.float32), (1,)))
+            n_scal += 1
+        scal = jnp.concatenate(parts).reshape(1, n_scal)
         ops = []
         for arr in [w] + [k for _, k in ks]:
             ops += [arr, arr, arr]

@@ -393,3 +393,261 @@ def make_sharded_delta_attempt(geom: GridGeometry, params: FreezingParams,
     return ShardedDeltaAttempt(geom, params, calc_mode, mesh, axis_name,
                                bz=bz, layout=layout, interpret=interpret,
                                compensated=compensated)
+
+
+# ---------------------------------------------------------------------------
+# 2-D (z, y) sharding — round 5
+# ---------------------------------------------------------------------------
+
+_KG = 8  # ghost lane-rows per side: 8 rows = 1024 cells >= X0 + 128
+         # for every grid this framework targets (X0 <= 896)
+
+
+def padded_rows_2d(geom: GridGeometry, ny: int) -> int:
+    """Lane-row count of the 2-D-sharded flat layout: the 1-D flat row
+    count rounded up so every y-shard holds the same whole number of
+    rows.  The extra rows extend the existing end-of-plane pad (edge-
+    replicated, mask-excluded)."""
+    from ..ops.pallas.stencil import _LANES, flat_extent
+    r = flat_extent(geom) // _LANES
+    return -(-r // ny) * ny
+
+
+def pad_state_2d(w, geom: GridGeometry, ny: int):
+    """(nv, Z, Y, X) -> the (nv, Z, R_pad, 128) flat layout whose row
+    count divides evenly over ``ny`` y-shards."""
+    from ..ops.pallas.stencil import _LANES, pad_state
+    flat = pad_state(w, geom, layout="flat")
+    rpad = padded_rows_2d(geom, ny)
+    extra = rpad - flat.shape[2]
+    if extra:
+        flat = jnp.pad(flat, ((0, 0), (0, 0), (0, extra), (0, 0)),
+                       mode="edge")
+    return flat
+
+
+def padded_sharding_2d(mesh: Mesh) -> NamedSharding:
+    return NamedSharding(mesh, P(None, "z", "y", None))
+
+
+def unpad_state_2d(w, geom: GridGeometry):
+    from ..ops.pallas.stencil import _LANES
+    nv = w.shape[0]
+    flat = w.reshape(nv, geom.n3, -1)
+    return flat[:, :, :geom.n2 * geom.n1].reshape(
+        nv, geom.n3, geom.n2, geom.n1)
+
+
+class ShardedDeltaAttempt2D:
+    """The increment-form (delta) Merson attempt over a 2-D (z, y) mesh.
+
+    Extends the 1-D raw-edge-plane protocol (``ShardedDeltaAttempt``)
+    with a second sharded dimension the reference cannot decompose at
+    all (``intertrack.c:1780-1789`` is 1-D-only): the flat layout's
+    lane-row axis is split over the ``y`` mesh axis, and each stage
+
+    1. exchanges ``_KG`` raw edge lane-rows with both y-neighbors
+       (``ppermute`` over the y ring) and concatenates them around the
+       local rows — the slab then covers every in-plane neighbor any
+       own-row cell can reach (x/y shifts span < _KG*128 cells);
+    2. exchanges raw edge z-planes of the y-EXTENDED arrays with both
+       z-neighbors exactly like the 1-D protocol (the extended planes
+       carry the corner rows for free, though the 7-point stencil never
+       reads them);
+    3. runs the same G kernels with a global row-offset scalar — the
+       kernels' x/y mirror masks decode global coordinates, so domain
+       edges behave identically on any mesh, and chain-end ghost-row
+       content (ring wrap) is provably never consumed;
+    4. slices the ghost rows off the outputs (``row_window`` already
+       excludes them from the stage-5 error max — duplicated valid rows
+       would not change a max, invalid wrapped rows would).
+
+    Bitwise identical to the single-device ``DeltaAttempt`` by the same
+    argument as the 1-D protocol: ghost values equal the rows/planes the
+    single-device kernel addresses itself, and every combination is the
+    kernel's own arithmetic.  State: ``(3, Z, R_pad, 128)`` where
+    ``R_pad`` = ``padded_rows_2d`` (``pad_state_2d`` builds it), sharded
+    ``P(None, "z", "y", None)``.
+    """
+
+    def __init__(self, geom: GridGeometry, params: FreezingParams,
+                 calc_mode: int, mesh: Mesh, *, bz: int = 0,
+                 interpret: bool = False):
+        from ..ops.pallas.stencil import (
+            _LANES, K_VARS as _KV, N_VARS as _NV, make_delta_g,
+            make_fused_stage)
+        if set(mesh.axis_names) != {"z", "y"}:
+            raise ValueError(
+                f"ShardedDeltaAttempt2D needs mesh axes z and y, got "
+                f"{mesh.axis_names}")
+        nz = mesh.shape["z"]
+        ny = mesh.shape["y"]
+        Z = geom.n3
+        if Z % nz:
+            raise ValueError(f"n3={Z} not divisible by mesh z={nz}")
+        zl = Z // nz
+        if zl < 2:
+            raise ValueError(f"z-shards need >= 2 planes, have {zl}")
+        rpad = padded_rows_2d(geom, ny)
+        rl = rpad // ny
+        if rl < _KG:
+            raise ValueError(
+                f"y-shards need >= {_KG} lane rows, have {rl} "
+                f"(grid too small for y={ny})")
+        if geom.n1 + _LANES > _KG * _LANES:
+            raise ValueError(
+                f"n1={geom.n1} exceeds the {_KG}-row ghost reach")
+        self.geom = geom
+        self.layout = "flat"
+        self.kshape = (_NV, Z, rpad, _LANES)
+        self._prm = params
+        self._mesh = mesh
+        self._nz, self._ny = nz, ny
+        self._zl, self._rl = zl, rl
+        self._kv, self._nv = _KV, _NV
+        r_ext = rl + 2 * _KG
+        self._stage1 = make_fused_stage(
+            geom, params, calc_mode, bz=bz, layout="flat",
+            interpret=interpret, n3_local=zl, shard_ghosts=True,
+            plane_rows=r_ext, row_window=(_KG, _KG + rl))
+        self._inner_g = make_delta_g(
+            geom, params, calc_mode, bz=bz, layout="flat",
+            interpret=interpret, n3_local=zl, shard_ghosts=True,
+            plane_rows=r_ext, row_window=(_KG, _KG + rl))
+        self._calls = {}
+        self._up_z = [(i, (i + 1) % nz) for i in range(nz)]
+        self._down_z = [(i, (i - 1) % nz) for i in range(nz)]
+        self._up_y = [(i, (i + 1) % ny) for i in range(ny)]
+        self._down_y = [(i, (i - 1) % ny) for i in range(ny)]
+
+    # -- shared shard_map body pieces ------------------------------------
+
+    def _extend_y(self, arr):
+        """(nv, zl, rl, 128) -> (nv, zl, rl + 2*_KG, 128) with raw edge
+        row-blocks from the y-ring neighbors (chain-end content is
+        wrap — provably unused, see class docstring)."""
+        lo = arr[:, :, :_KG]
+        hi = arr[:, :, self._rl - _KG:]
+        from_below = lax.ppermute(hi, "y", self._up_y)
+        from_above = lax.ppermute(lo, "y", self._down_y)
+        return jnp.concatenate([from_below, arr, from_above], axis=2)
+
+    def _z_ghosts(self, w_e, k_es, dirichlet_t=None):
+        """Raw edge z-planes of the y-extended arrays, ppermuted over
+        the z ring; chain ends mirror (own planes).  ``dirichlet_t``
+        (classic stage-1 only): at the global top, the w-ghost u plane
+        is D(t) and the K ghost u planes are 0, making the kernel's
+        combined ghost exactly the Dirichlet value."""
+        zi = lax.axis_index("z")
+        zpl = jnp.zeros_like(w_e[self._kv:self._kv + 1, 0])
+
+        def kpl(k, z):
+            return jnp.concatenate([k[:, z], zpl], axis=0)
+
+        lo = jnp.stack([w_e[:, 0]] + [kpl(k, 0) for k in k_es])
+        hi = jnp.stack([w_e[:, -1]] + [kpl(k, -1) for k in k_es])
+        from_below = lax.ppermute(hi, "z", self._up_z)
+        from_above = lax.ppermute(lo, "z", self._down_z)
+        if dirichlet_t is not None:
+            inp = lax.broadcasted_iota(jnp.int32, hi.shape, 0)
+            var = lax.broadcasted_iota(jnp.int32, hi.shape, 1)
+            d_val = physics.dirichlet_top(
+                jnp.asarray(dirichlet_t, jnp.float32),
+                self._prm).astype(hi.dtype)
+            hi = jnp.where(var == 0,
+                           jnp.where(inp == 0, d_val, 0.0), hi)
+        ghost_lo = jnp.where(zi == 0, lo, from_below)
+        ghost_hi = jnp.where(zi == self._nz - 1, hi, from_above)
+        return ghost_lo, ghost_hi
+
+    def _row0(self):
+        return (lax.axis_index("y") * self._rl - _KG).astype(jnp.int32)
+
+    def _g(self, h, D1, dDi, w, ks, stage5=False):
+        spec = P(None, "z", "y", None)
+        scal = P()
+        coefs = tuple(c for c, _ in ks)
+        key = ("g", coefs, stage5)
+        if key not in self._calls:
+            nk = len(coefs)
+            eps_spec = P(("z", "y"), None, None)
+            out_specs = (spec, eps_spec) if stage5 else spec
+            in_specs = (scal, scal, scal, spec) + (spec,) * nk
+
+            @partial(shard_map, mesh=self._mesh, in_specs=in_specs,
+                     out_specs=out_specs, check_vma=False)
+            def impl(h_, D1_, dDi_, w_l, *k_l):
+                w_e = self._extend_y(w_l)
+                k_es = [self._extend_y(k) for k in k_l]
+                ghost_lo, ghost_hi = self._z_ghosts(w_e, k_es)
+                is_top = (lax.axis_index("z") == self._nz - 1
+                          ).astype(jnp.float32)
+                out = self._inner_g(h_, D1_, dDi_, w_e,
+                                    list(zip(coefs, k_es)),
+                                    ghosts=(ghost_lo, ghost_hi),
+                                    is_top=is_top, stage5=stage5,
+                                    row0=self._row0())
+                cut = lambda a: a[:, :, _KG:_KG + self._rl]
+                if stage5:
+                    y_spec_e, eps = out
+                    return cut(y_spec_e), eps
+                return cut(out)
+
+            self._calls[key] = impl
+        return self._calls[key](jnp.asarray(h), jnp.asarray(D1),
+                                jnp.asarray(dDi), w, *[k for _, k in ks])
+
+    def _k1(self, t, h, w):
+        key = ("k1",)
+        if key not in self._calls:
+            spec = P(None, "z", "y", None)
+
+            @partial(shard_map, mesh=self._mesh,
+                     in_specs=(P(), P(), spec), out_specs=spec,
+                     check_vma=False)
+            def impl(t_, h_, w_l):
+                w_e = self._extend_y(w_l)
+                ghost_lo, ghost_hi = self._z_ghosts(
+                    w_e, [], dirichlet_t=t_)
+                out = self._stage1(t_, h_, w_e, [], ghost_lo, ghost_hi,
+                                   row0=self._row0())
+                return out[:, :, _KG:_KG + self._rl]
+
+            self._calls[key] = impl
+        return self._calls[key](jnp.asarray(t), jnp.asarray(h), w)
+
+    # --- merson_solve attempt_fn protocol (same as DeltaAttempt) ---
+
+    def pack(self, y):
+        if y.shape != self.kshape:
+            raise ValueError(
+                f"ShardedDeltaAttempt2D expects the 2-D padded flat "
+                f"layout {self.kshape} (see pad_state_2d), got {y.shape}")
+        return y
+
+    def attempt(self, t, h, y):
+        prm = self._prm
+        D1 = physics.dirichlet_top(t, prm)
+
+        def dD(ts):
+            return (physics.dirichlet_top(ts, prm) - D1).astype(jnp.float32)
+
+        K1 = self._k1(t, h, y)
+        G2 = self._g(h, D1, dD(t + h / 3), y, [(1.0 / 3.0, K1)])
+        G3 = self._g(h, D1, dD(t + h / 3), y,
+                     [(1.0 / 3.0, K1), (1.0 / 6.0, G2)])
+        G4 = self._g(h, D1, dD(t + h / 2), y,
+                     [(0.5, K1), (0.375, G3)])
+        y_spec, eps_blocks = self._g(
+            h, D1, dD(t + h), y,
+            [(1.0, K1), (-1.5, G3), (2.0, G4)], stage5=True)
+        return (y, y_spec), eps_blocks
+
+    def commit(self, carry_spec, accept):
+        y, y_spec = carry_spec
+        sel = jnp.where(accept, y_spec, y[:K_VARS])
+        return lax.dynamic_update_slice(y, sel.astype(y.dtype),
+                                        (0,) * y.ndim)
+
+    def unpack(self, y):
+        return y

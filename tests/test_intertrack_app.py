@@ -234,3 +234,39 @@ def test_fused_interpret_sharded_delta_matches_single(tmp_path, monkeypatch):
         a = (single / name).read_bytes()
         b = (sharded / name).read_bytes()
         assert a == b, f"{name} differs between single and z4 mesh"
+
+
+def test_fused_interpret_2d_mesh(tmp_path, monkeypatch):
+    """The app under ``--mesh z2,y2`` takes the 2-D sharded delta path
+    (round 5) and reproduces the single-device run's step counts and
+    fields (to the documented FMA-contraction ulps — see
+    tests/test_sharded_delta_2d.py for the exact contract)."""
+    monkeypatch.setenv("PFT_FUSED_INTERPRET", "1")
+    # a plane large enough for >= 8 lane rows per y-shard
+    params = BASE + "\nn1 64\nn2 50\nn3 8\n"
+    single = tmp_path / "single"
+    sharded = tmp_path / "sharded"
+    single.mkdir()
+    sharded.mkdir()
+    assert run_app(single, params, ("--precision", "f32")) == 0
+    assert run_app(sharded, params, ("--precision", "f32",
+                                     "--mesh", "z2,y2")) == 0
+    log = (sharded / "intertrack.log").read_text()
+    assert "(sharded over z=2, y=2)" in log
+    s_log = (single / "intertrack.log").read_text()
+    import re
+    steps = lambda t: [int(m[0]) for m in
+                       re.findall(r"(\d+) R-K steps \((\d+) total\)", t)]
+    got, want = steps(log)[-1], steps(s_log)[-1]
+    # individual accept decisions at tolerance boundaries may flip
+    # within the documented FMA-contraction ulps; run-level counts stay
+    # within a few steps (the unit suite asserts exact equality over a
+    # fixed window — tests/test_sharded_delta_2d.py)
+    assert abs(got - want) <= max(2, want // 20), (got, want)
+    for name in ("image.001.ncd", "image.002.ncd"):
+        a = read_netcdf(str(single / name))
+        b = read_netcdf(str(sharded / name))
+        for v in ("u", "p", "gl"):
+            np.testing.assert_allclose(
+                np.asarray(b.variables[v]), np.asarray(a.variables[v]),
+                rtol=1e-3, atol=5e-3)
