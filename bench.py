@@ -218,7 +218,15 @@ def bench_freezing(args, grid_nodes=None, calc_mode=0):
     if use_fused:
         from porousfreezethaw_tpu.ops.pallas.stencil import (
             make_fused_attempt, make_fused_stage, pad_state)
-        if mesh is not None:
+        if mesh is not None and "y" in mesh.axis_names:
+            # 2-D (z, y) sharded delta path (round 5)
+            from porousfreezethaw_tpu.parallel.fused import (
+                ShardedDeltaAttempt2D)
+            attempt_fn = ShardedDeltaAttempt2D(
+                geom, prm_solver, calc_mode, mesh)
+            log(f"2-D sharded delta attempt: ON over "
+                f"{dict(zip(mesh.axis_names, mesh.devices.shape))}")
+        elif mesh is not None:
             from porousfreezethaw_tpu.parallel.fused import (
                 make_sharded_fused_stage)
             stage_fn = make_sharded_fused_stage(
@@ -273,10 +281,18 @@ def bench_freezing(args, grid_nodes=None, calc_mode=0):
 
     w_dev = jnp.asarray(w0, dtype)
     if use_fused:
-        w_dev = pad_state(w_dev, geom)
-        if mesh is not None:
-            from porousfreezethaw_tpu.parallel.fused import padded_sharding
-            w_dev = jax.device_put(w_dev, padded_sharding(mesh))
+        if mesh is not None and "y" in mesh.axis_names:
+            from porousfreezethaw_tpu.parallel.fused import (
+                pad_state_2d, padded_sharding_2d)
+            w_dev = jax.device_put(
+                pad_state_2d(w_dev, geom, mesh.shape["y"]),
+                padded_sharding_2d(mesh))
+        else:
+            w_dev = pad_state(w_dev, geom)
+            if mesh is not None:
+                from porousfreezethaw_tpu.parallel.fused import (
+                    padded_sharding)
+                w_dev = jax.device_put(w_dev, padded_sharding(mesh))
     state = merson_init(w_dev, 0.0, min(pf.vars["tau"], 1e-4))
     log(f"compiling + warming >= {warm} attempted steps into the stepping "
         f"regime ({steps} per solver call)...")
@@ -485,14 +501,21 @@ def main():
         # shard_map + Mosaic + the overlap split on one chip)
         specs.append(("freezing:200:0:delta", "freezing_200_0_delta"))
         specs.append(("freezing:200:0:mesh=z1", "freezing_200_0_sharded"))
-        # dense wins on-chip through n=2000 (the 16x16 capacity blocks
-        # of the gather/roll cell strategies pad 8x against the 128-lane
-        # tiling; PERFORMANCE.md); cell_list is the TPU-shaped
-        # capacity-in-lanes layout
-        for n, nb in ((200, "dense"), (2000, "dense"),
-                      (2000, "cell_roll"), (2000, "cell_lanes"),
-                      (20000, "cell_lanes")):
-            specs.append((f"dem:{n}:{nb}:512", f"dem_{n}_{nb}"))
+        # the 2-D (z, y) sharded delta path compiled by Mosaic (round 5):
+        # traced-mask kernels + self-permute rings on one chip
+        specs.append(("freezing:200:0:mesh=z1,y1",
+                      "freezing_200_0_sharded_2d"))
+        # dense wins through n~2000-3000; the lane-major cell structure
+        # with guarded capacity K=8 crosses over by n=4000 (round 5:
+        # 9.9e5 vs 7.9e5 evals/s at n=4000 — the first cell structure
+        # to beat dense on this TPU; PERFORMANCE.md)
+        for n, nb, cap in ((200, "dense", 0), (2000, "dense", 0),
+                           (4000, "dense", 0), (4000, "cell_lanes", 8),
+                           (6000, "dense", 0), (6000, "cell_lanes", 8),
+                           (10000, "cell_lanes", 8)):
+            spec = f"dem:{n}:{nb}:512" + (f":{cap}" if cap else "")
+            specs.append((spec, f"dem_{n}_{nb}" + (f"_k{cap}" if cap
+                                                   else "")))
 
         results = []
         for spec, label in specs:

@@ -184,7 +184,10 @@ def test_cell_lanes_settle_tracks_dense():
     np.testing.assert_allclose(np.asarray(out["dense"].y["pos"]),
                                np.asarray(out["cell_lanes"].y["pos"]),
                                rtol=1e-6, atol=1e-8)
-    assert int(out["dense"].steps) == int(out["cell_lanes"].steps)
+    # the two strategies sum pair forces in different orders, so an
+    # accept decision riding a tolerance boundary may flip by one step
+    assert abs(int(out["dense"].steps)
+               - int(out["cell_lanes"].steps)) <= 1
 
 
 def test_cell_lanes_large_n_smoke():
