@@ -247,7 +247,6 @@ def run_iteration(
     # commit-rounding accumulation), so the plain commit stays the
     # production path; `compensated_commit 1` enables the variant
     use_comp = bool(pf.vars.get("compensated_commit", 0.0))
-    padded_2d = False
     if mesh_axes:
         mesh = make_mesh(mesh_axes)
         log("Device mesh: %s\n", dict(zip(mesh.axis_names, mesh.devices.shape)))
@@ -298,7 +297,6 @@ def run_iteration(
             w_dev = jax.device_put(pad_state_2d(w_dev, geom, ny),
                                    padded_sharding_2d(mesh))
             unpad = lambda y: np.asarray(unpad_state_2d(y, geom))
-            padded_2d = True
         else:
             w_dev = shard_freezing_state(w_dev, mesh)
     elif fused_ok:
@@ -495,16 +493,13 @@ def run_iteration(
             t=float(state.t), final_time=final_time, snapshot=(
                 snapshot - 1 if is_on_demand else snapshot),
             total_snapshots=total_snapshots, comment=comment)
-        if mesh_axes and pf.grid_io_mode == "inner" and not padded_2d:
-            # gather-free path for BOTH 1-D mesh layouts: the raw XLA
-            # state (unshift on device, sharding preserved) and the
-            # fused/delta kernels' padded flat layout (per-shard unpad +
-            # unshift on host; the writer detects the layout) — the
-            # production mesh path never gathers the grid (round 5).
-            # The 2-D (z,y) path still gathers: its R-dim shards need a
-            # flat-offset-aware writer (queued; each shard's rows are a
-            # contiguous flat range per z-plane, so it is a
-            # straightforward extension)
+        if mesh_axes and pf.grid_io_mode == "inner":
+            # gather-free path for EVERY mesh layout: the raw XLA state
+            # (unshift on device, sharding preserved), the fused/delta
+            # kernels' padded flat layout (per-shard unpad + unshift on
+            # host), and the 2-D (z,y) padded layout (per-(variable,
+            # z-plane) contiguous flat-run writes) — the production
+            # mesh path never gathers the grid (round 5)
             from ..io.snapshots import write_snapshot_sharded
             y_out = state.y
             if y_out.shape[0] > 3:     # strip compensated-commit lo planes

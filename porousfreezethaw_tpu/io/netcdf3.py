@@ -214,6 +214,26 @@ def write_block(path: str, layout: VarLayout, block: np.ndarray,
             f.write(flat[idx].tobytes())
 
 
+def write_flat_range(path: str, layout: VarLayout, values: np.ndarray,
+                     flat_start: int) -> None:
+    """Write a contiguous run of ``values`` at element offset
+    ``flat_start`` within the variable's row-major data — the primitive
+    behind gather-free writes of shards that do not align to whole
+    hyperslabs (a 2-D-sharded flat plane's rows are one contiguous
+    run per z-plane)."""
+    dtype = _NC_TO_DTYPE[layout.nc_type]
+    isize = _NC_SIZE[layout.nc_type]
+    values = np.ascontiguousarray(np.asarray(values).ravel(), dtype=dtype)
+    total = int(np.prod(layout.shape, dtype=np.int64))
+    if flat_start < 0 or flat_start + values.size > total:
+        raise ValueError(
+            f"range {values.size}@{flat_start} outside variable of "
+            f"{total} elements")
+    with open(path, "r+b") as f:
+        f.seek(layout.begin + flat_start * isize)
+        f.write(values.tobytes())
+
+
 @dataclasses.dataclass
 class NetCDFData:
     dims: Dict[str, int]

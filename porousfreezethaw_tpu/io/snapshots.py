@@ -200,6 +200,35 @@ def write_snapshot_sharded(
         seen.add(key)
         qs = idx[0]
         q0 = qs.start or 0
+        if padded and state.ndim == 4 and (
+                (idx[2].start or 0) != 0
+                or (idx[2].stop is not None
+                    and idx[2].stop != state.shape[2])):
+            # 2-D (z, y)-sharded padded flat layout: the shard holds
+            # lane rows [r0, r1) of every plane in its z range — one
+            # contiguous flat run per (variable, z-plane), clipped at
+            # the valid plane end (trailing rows are pad)
+            from .netcdf3 import write_flat_range
+            raw = np.asarray(shard.data)
+            if u_shift and q0 == 0:
+                raw = np.array(raw, copy=True)
+                raw[0] += u_shift
+            raw = raw.astype(np.float64)
+            z0 = idx[1].start or 0
+            r0 = idx[2].start or 0
+            plane = n2 * n1
+            count = min(raw.shape[2] * raw.shape[3], plane - r0 * 128)
+            if count <= 0:
+                continue                     # pad-only shard rows
+            for qi, q in enumerate(range(q0,
+                                         qs.stop if qs.stop is not None
+                                         else state.shape[0])):
+                lay = layouts[VARIABLES[q]]
+                for zi in range(raw.shape[1]):
+                    write_flat_range(
+                        path, lay, raw[qi, zi].ravel()[:count],
+                        (z0 + zi) * plane + r0 * 128)
+            continue
         if padded:
             # (nv_l, zl, R, 128) -> unpad to (nv_l, zl, n2, n1); the
             # flat pad only extends the last two (unsharded) dims, so a
