@@ -508,11 +508,14 @@ def main():
         # dense wins through n~2000-3000; the lane-major cell structure
         # with guarded capacity K=8 crosses over by n=4000 (round 5:
         # 9.9e5 vs 7.9e5 evals/s at n=4000 — the first cell structure
-        # to beat dense on this TPU; PERFORMANCE.md)
+        # to beat dense on this TPU) and holds ~1e6 evals/s O(n) through
+        # n=20000, the size whose dense program faults the axon worker
+        # (PERFORMANCE.md)
         for n, nb, cap in ((200, "dense", 0), (2000, "dense", 0),
                            (4000, "dense", 0), (4000, "cell_lanes", 8),
                            (6000, "dense", 0), (6000, "cell_lanes", 8),
-                           (10000, "cell_lanes", 8)):
+                           (10000, "cell_lanes", 8),
+                           (20000, "cell_lanes", 8)):
             spec = f"dem:{n}:{nb}:512" + (f":{cap}" if cap else "")
             specs.append((spec, f"dem_{n}_{nb}" + (f"_k{cap}" if cap
                                                    else "")))
